@@ -1,0 +1,173 @@
+"""Device-resident, vmappable L-BFGS with backtracking line search.
+
+Replaces the reference's host-side ``scipy.optimize.minimize(method='L-BFGS-B',
+jac=...)`` inner loop (/root/reference/src/planner/scripts/traj_planner/
+expert_planner.py:213-225, budget: maxcor 10, maxls 20). Design constraints that a
+batched TPU solver imposes and scipy does not:
+
+- fixed shapes: rolling history buffers of static length ``history``; two-loop
+  recursion as masked ``fori_loop``s;
+- safe under ``jax.vmap``: per-lane ``converged`` flags freeze finished lanes while
+  the batched ``while_loop`` keeps running until every lane is done, so divergent
+  per-problem iteration counts cost only the slowest lane's iterations;
+- no exceptions: line-search failure marks the lane converged instead of raising.
+
+The solver is generic over any differentiable scalar ``fun`` (unconstrained); the
+planner closes its cost over the map and boundary conditions and vmaps this across
+envs × multi-start seeds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LBFGSResult(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+    ls_fails: jnp.ndarray
+
+
+class _State(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    s_hist: jnp.ndarray   # (m, n)
+    y_hist: jnp.ndarray   # (m, n)
+    rho: jnp.ndarray      # (m,)
+    head: jnp.ndarray     # next write slot
+    count: jnp.ndarray    # valid pairs (<= m)
+    it: jnp.ndarray
+    done: jnp.ndarray
+    ls_fails: jnp.ndarray
+
+
+def _two_loop(g, s_hist, y_hist, rho, head, count, m):
+    """Two-loop recursion producing the search direction -H·g with masked history."""
+    q = g
+    alphas = jnp.zeros(m)
+
+    def backward(i, carry):
+        q, alphas = carry
+        idx = jnp.mod(head - 1 - i, m)
+        valid = (i < count).astype(q.dtype)
+        alpha = rho[idx] * jnp.dot(s_hist[idx], q) * valid
+        q = q - alpha * y_hist[idx]
+        alphas = alphas.at[idx].set(alpha)
+        return q, alphas
+
+    q, alphas = jax.lax.fori_loop(0, m, backward, (q, alphas))
+
+    newest = jnp.mod(head - 1, m)
+    sy = jnp.dot(s_hist[newest], y_hist[newest])
+    yy = jnp.dot(y_hist[newest], y_hist[newest])
+    gamma = jnp.where(count > 0, sy / jnp.maximum(yy, 1e-20), 1.0)
+    r = gamma * q
+
+    def forward(i, r):
+        idx = jnp.mod(head - count + i, m)
+        valid = (i < count).astype(r.dtype)
+        beta = rho[idx] * jnp.dot(y_hist[idx], r) * valid
+        return r + s_hist[idx] * (alphas[idx] - beta) * valid
+
+    r = jax.lax.fori_loop(0, m, forward, r)
+    return -r
+
+
+def minimize(fun: Callable, x0: jnp.ndarray, *, max_iters: int = 256,
+             history: int = 10, max_ls: int = 20, ftol: float = 1e-9,
+             gtol: float = 1e-6, c1: float = 1e-4) -> LBFGSResult:
+    """Minimize ``fun(x) -> scalar`` from x0. All arguments after x0 are static."""
+    n = x0.shape[0]
+    m = history
+    value_and_grad = jax.value_and_grad(fun)
+    f0, g0 = value_and_grad(x0)
+
+    init = _State(
+        x=x0, f=f0, g=g0,
+        s_hist=jnp.zeros((m, n)), y_hist=jnp.zeros((m, n)), rho=jnp.zeros(m),
+        head=jnp.array(0), count=jnp.array(0), it=jnp.array(0),
+        done=jnp.isnan(f0) | (jnp.linalg.norm(g0, ord=jnp.inf) <= gtol),
+        ls_fails=jnp.array(0),
+    )
+
+    def cond(st: _State):
+        return (~st.done) & (st.it < max_iters)
+
+    def body(st: _State):
+        d = _two_loop(st.g, st.s_hist, st.y_hist, st.rho, st.head, st.count, m)
+        gtd = jnp.dot(st.g, d)
+        # ensure descent; fall back to steepest descent otherwise
+        bad = (gtd >= 0.0) | jnp.isnan(gtd)
+        d = jnp.where(bad, -st.g, d)
+        gtd = jnp.where(bad, -jnp.dot(st.g, st.g), gtd)
+
+        # initial step: unit, except a gradient-scaled first iteration (scipy-style)
+        t0 = jnp.where(st.it == 0,
+                       jnp.minimum(1.0, 1.0 / jnp.maximum(
+                           jnp.linalg.norm(st.g, ord=1), 1e-12)),
+                       1.0)
+
+        # backtracking Armijo line search (halving), at most max_ls evaluations
+        def ls_cond(carry):
+            t, f_new, k, ok = carry
+            return (~ok) & (k < max_ls)
+
+        def ls_body(carry):
+            t, _, k, _ = carry
+            f_new = fun(st.x + t * d)
+            ok = f_new <= st.f + c1 * t * gtd
+            t_next = jnp.where(ok, t, t * 0.5)
+            return t_next, f_new, k + 1, ok
+
+        t, f_try, _, ls_ok = jax.lax.while_loop(
+            ls_cond, ls_body, (t0, st.f, jnp.array(0), jnp.array(False)))
+
+        # accept any strict decrease even if Armijo never fired
+        accept = ls_ok | (f_try < st.f)
+        x_new = jnp.where(accept, st.x + t * d, st.x)
+        f_new, g_new = value_and_grad(x_new)
+
+        # curvature-guarded history update
+        s = x_new - st.x
+        y = g_new - st.g
+        ys = jnp.dot(y, s)
+        store = accept & (ys > 1e-10)
+        s_hist = jnp.where(store, st.s_hist.at[st.head].set(s), st.s_hist)
+        y_hist = jnp.where(store, st.y_hist.at[st.head].set(y), st.y_hist)
+        rho = jnp.where(store, st.rho.at[st.head].set(1.0 / jnp.maximum(ys, 1e-20)),
+                        st.rho)
+        head = jnp.where(store, jnp.mod(st.head + 1, m), st.head)
+        count = jnp.where(store, jnp.minimum(st.count + 1, m), st.count)
+
+        # convergence: scipy-style relative f decrease, gradient norm, or a dead
+        # line search
+        f_drop = (st.f - f_new) / jnp.maximum(
+            jnp.maximum(jnp.abs(st.f), jnp.abs(f_new)), 1.0)
+        done = ((f_drop <= ftol) & accept) \
+            | (jnp.linalg.norm(g_new, ord=jnp.inf) <= gtol) \
+            | (~accept) | jnp.isnan(f_new)
+
+        new = _State(x=x_new, f=f_new, g=g_new, s_hist=s_hist, y_hist=y_hist,
+                     rho=rho, head=head, count=count, it=st.it + 1, done=done,
+                     ls_fails=st.ls_fails + (~accept).astype(jnp.int32))
+
+        # freeze lanes that were already done (vmap safety)
+        return jax.tree_util.tree_map(
+            lambda old, upd: jnp.where(st.done, old, upd), st, new)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return LBFGSResult(x=final.x, f=final.f, g=final.g, iters=final.it,
+                       converged=final.done, ls_fails=final.ls_fails)
+
+
+def minimize_batched(fun: Callable, x0_batch: jnp.ndarray, **kwargs) -> LBFGSResult:
+    """vmap convenience wrapper: x0_batch (B, n) -> batched LBFGSResult."""
+    return jax.vmap(partial(minimize, fun, **kwargs))(x0_batch)

@@ -1,0 +1,193 @@
+"""MINCO-style minimum-jerk piecewise-quintic trajectory math, in jnp.
+
+Functional re-derivation of the reference's TrajUtils
+(/root/reference/src/planner/scripts/traj_planner/traj_utils.py:8-195) and the
+A-matrix construction shared by the expert planner (expert_planner.py:261-336):
+a trajectory of M quintic pieces in D dims is pinned by head/tail states (pos, vel,
+acc), M-1 intermediate waypoints q, and piece durations T, via a (6M, 6M) banded
+linear system A(T) · coeffs = b(q).
+
+TPU-first design notes:
+- Everything is traced once with static M and D; the construction below unrolls the
+  tiny Python loop over pieces at trace time, producing a fixed scatter pattern.
+- Gradients of downstream costs w.r.t. (q, T) flow through ``jnp.linalg.solve`` by
+  autodiff; the implicit adjoint XLA generates is exactly the hand-derived
+  propagate_grad_q_tau of the reference (expert_planner.py:494-537), so no manual
+  gradient code exists here.
+- Batched use is via ``jax.vmap`` over (head, tail, q, T) — the 18×18 solves batch
+  into one big batched LU on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# monomial basis
+# ---------------------------------------------------------------------------
+
+_J = np.arange(6)
+
+
+def _falling(k: int) -> np.ndarray:
+    """Static coefficients j!/(j-k)! for d^k/dt^k t^j, zero where j < k."""
+    out = np.ones(6)
+    for step in range(k):
+        out = out * np.maximum(_J - step, 0)
+    return out
+
+
+_FALLING = np.stack([_falling(k) for k in range(6)])  # (6, 6)
+
+
+def beta(t: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Basis row: d^k/dt^k [1, t, t^2, ..., t^5] evaluated at t. Broadcasts over t.
+
+    Matches the rows tabulated in expert_planner.py:250-259.
+    """
+    t = jnp.asarray(t)
+    exps = np.maximum(_J - k, 0)
+    powers = t[..., None] ** exps
+    return _FALLING[k] * jnp.where(_J >= k, powers, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# linear system: boundary + continuity constraints
+# ---------------------------------------------------------------------------
+
+def build_system(head_state: jnp.ndarray, tail_state: jnp.ndarray,
+                 int_wpts: jnp.ndarray, ts: jnp.ndarray):
+    """Assemble A (6M, 6M) and b (6M, D) for min-jerk (s=3) quintic pieces.
+
+    head_state/tail_state: (3, D) = [pos; vel; acc]. int_wpts: (D, M-1). ts: (M,).
+
+    Row layout (same ordering as expert_planner.py:261-336 so coefficient vectors are
+    directly comparable in tests):
+      rows 0..2:            initial pos/vel/acc of piece 0 at t=0
+      per joint i (6 rows): waypoint pin, then C^0..C^4 continuity at t=T_i
+      last 3 rows:          final pos/vel/acc of piece M-1 at t=T_{M-1}
+    """
+    D = head_state.shape[1]
+    M = ts.shape[0]
+    n = 6 * M
+
+    A = jnp.zeros((n, n))
+    b = jnp.zeros((n, D))
+
+    # initial conditions: beta_k(0) rows reduce to unit entries
+    A = A.at[0, 0].set(1.0).at[1, 1].set(1.0).at[2, 2].set(2.0)
+    b = b.at[0:3].set(head_state)
+
+    for i in range(M - 1):
+        Ti = ts[i]
+        r = 6 * i + 3
+        c = 6 * i
+        # waypoint pin: pos_i(T_i) = q_i
+        A = A.at[r, c:c + 6].set(beta(Ti, 0))
+        b = b.at[r].set(int_wpts[:, i])
+        # continuity C^0..C^4: pos_i(T_i) - pos_{i+1}(0) = 0, etc.
+        for k in range(5):
+            A = A.at[r + 1 + k, c:c + 6].set(beta(Ti, k))
+            A = A.at[r + 1 + k, c + 6 + k].set(-_FALLING[k][k])
+
+    Tm = ts[M - 1]
+    for k in range(3):
+        A = A.at[n - 3 + k, n - 6:n].set(beta(Tm, k))
+    b = b.at[n - 3:n].set(tail_state)
+
+    return A, b
+
+
+def solve_coeffs(head_state: jnp.ndarray, tail_state: jnp.ndarray,
+                 int_wpts: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
+    """coeffs (6M, D) solving the boundary/continuity system (traj_utils.py:83)."""
+    A, b = build_system(head_state, tail_state, int_wpts, ts)
+    return jnp.linalg.solve(A, b)
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def eval_at(coeffs: jnp.ndarray, ts: jnp.ndarray, t: jnp.ndarray, order: int
+            ) -> jnp.ndarray:
+    """Evaluate the order-th derivative at times t (any shape) -> (..., D).
+
+    Equivalent to traj_utils.get_pos/vel/acc/jerk (traj_utils.py:85-179): clamp t to
+    total duration, locate the piece, evaluate the local monomial basis.
+    """
+    M = ts.shape[0]
+    t = jnp.asarray(t)
+    cum = jnp.cumsum(ts)
+    total = cum[-1]
+    tc = jnp.clip(t, 0.0, total)
+    # reference piece lookup: smallest idx with cumsum(ts[:idx+1]) >= t
+    piece = jnp.clip(jnp.searchsorted(cum, tc[..., None], side="left")[..., 0], 0, M - 1)
+    local_t = tc - jnp.where(piece > 0, jnp.take(jnp.concatenate([jnp.zeros(1), cum]),
+                                                 piece), 0.0)
+    c_blocks = coeffs.reshape(M, 6, -1)          # (M, 6, D)
+    c = c_blocks[piece]                          # (..., 6, D)
+    bt = beta(local_t, order)                    # (..., 6)
+    return jnp.einsum("...j,...jd->...d", bt, c)
+
+
+def full_state_cmd(coeffs: jnp.ndarray, ts: jnp.ndarray, hz: int, n_max: int):
+    """Sample (pos, vel, acc) setpoints at ``hz`` over the whole trajectory.
+
+    Functional analog of traj_utils.get_full_state_cmd (traj_utils.py:181-195) with a
+    static output length: returns (state_cmd (n_max, 3, D), valid (n_max,) bool,
+    n_valid ()). Samples beyond the trajectory duration hold the final state, which is
+    also what the reference's tracking loop does when it runs off the end of
+    des_state_array (traj_planner_node.py:702-703).
+    """
+    t = jnp.arange(n_max) / hz
+    total = jnp.sum(ts)
+    valid = t < total
+    pos = eval_at(coeffs, ts, t, 0)
+    vel = eval_at(coeffs, ts, t, 1)
+    acc = eval_at(coeffs, ts, t, 2)
+    state_cmd = jnp.stack([pos, vel, acc], axis=1)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    return state_cmd, valid, n_valid
+
+
+# ---------------------------------------------------------------------------
+# duration reparameterization  T <-> tau
+# ---------------------------------------------------------------------------
+
+def tau_to_T(tau: jnp.ndarray, t_min: float, t_max: float) -> jnp.ndarray:
+    """T = T_min + (T_max - T_min) * sigmoid(tau)  (expert_planner.py:477-483)."""
+    return t_min + (t_max - t_min) * jax.nn.sigmoid(tau)
+
+
+def T_to_tau(ts: jnp.ndarray, t_min: float, t_max: float) -> jnp.ndarray:
+    """Inverse sigmoid (expert_planner.py:468-475), clipped for safety at the rails."""
+    frac = jnp.clip((ts - t_min) / (t_max - t_min), 1e-6, 1.0 - 1e-6)
+    return jnp.log(frac) - jnp.log1p(-frac)
+
+
+# ---------------------------------------------------------------------------
+# energy (integral of squared jerk)
+# ---------------------------------------------------------------------------
+
+# 3-point Gauss-Legendre nodes/weights on [0, 1]: exact for degree <= 5, and
+# ‖jerk‖² of a quintic is degree 4. Quadrature of the squared jerk sums only
+# non-negative terms, unlike the closed-form Gram contraction the reference uses
+# (expert_planner.py:345-359), which cancels catastrophically in float32.
+_GL_NODES = np.array([0.5 - np.sqrt(3.0 / 5.0) / 2.0, 0.5,
+                      0.5 + np.sqrt(3.0 / 5.0) / 2.0])
+_GL_WEIGHTS = np.array([5.0 / 18.0, 8.0 / 18.0, 5.0 / 18.0])
+
+
+def energy(coeffs: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
+    """Total ∫‖jerk‖² over all pieces — exact (Gauss-Legendre), f32-stable."""
+    M = ts.shape[0]
+    c = coeffs.reshape(M, 6, -1)                 # (M, 6, D)
+    t = ts[:, None] * _GL_NODES[None, :]         # (M, 3)
+    b3 = beta(t, 3)                              # (M, 3, 6)
+    jerk = jnp.einsum("mkj,mjd->mkd", b3, c)     # (M, 3, D)
+    sq = jnp.sum(jerk * jerk, axis=-1)           # (M, 3)
+    return jnp.sum(sq * _GL_WEIGHTS[None, :] * ts[:, None])

@@ -1,0 +1,169 @@
+"""Expert minimum-jerk planner: device L-BFGS with parallel multi-start.
+
+Re-design of the reference MinJerkPlanner
+(/root/reference/src/planner/scripts/traj_planner/expert_planner.py:28-237) for TPU:
+
+- The reference's *sequential* retry ladder — 3 multi-start seeds tried in order
+  (batch_plan, :142-168), then up to 5 noisy re-seeds on collision rejection
+  (warm_start_plan, :186-203) — becomes a single *parallel* bank of seeds solved by
+  one vmapped L-BFGS, followed by a masked argmin selection. Failure is data (an
+  ``ok`` flag), not an exception.
+- Seed construction matches the reference: straight-line interpolation, ±0.6 m
+  lateral offsets (batch_generate_init_variables, :103-140), N(0, 0.5) waypoint noise
+  for retries (:93-94), init durations init_T·[1.5, 1, ..., 1.5] (:97-99).
+- Acceptance matches plan_once (:235-237): weighted collision cost must not exceed
+  ``collision_cost_tol``.
+
+Everything here is pure and vmappable over an env axis (pass a batched ESDFMap and
+batched states through ``jax.vmap``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from neoplanner_tpu.config import PlannerParams
+from neoplanner_tpu.core.types import ESDFMap, Trajectory
+from neoplanner_tpu.ops import lbfgs, minco
+from neoplanner_tpu.plan import costs as costs_mod
+
+
+def init_ts(pp: PlannerParams) -> jnp.ndarray:
+    """init_T per piece, first/last scaled 1.5x (expert_planner.py:97-99)."""
+    ts = jnp.full((pp.num_pieces,), pp.init_t)
+    return ts.at[0].mul(1.5).at[-1].mul(1.5)
+
+
+def straight_line_wpts(start_pos: jnp.ndarray, target_pos: jnp.ndarray,
+                       pp: PlannerParams) -> jnp.ndarray:
+    """(D, M-1) evenly spaced interior waypoints (expert_planner.py:91-92)."""
+    n = pp.num_wpts
+    fracs = (jnp.arange(1, n + 1) / (n + 1))[:, None]
+    wpts = start_pos[None, :] + fracs * (target_pos - start_pos)[None, :]
+    return wpts.T
+
+
+def seed_bank(start_pos: jnp.ndarray, target_pos: jnp.ndarray, key: jnp.ndarray,
+              pp: PlannerParams) -> jnp.ndarray:
+    """All multi-start + retry seeds as one (B, D, M-1) array.
+
+    Layout: [straight, +lateral, -lateral, wide laterals, noisy x retry_num]. The
+    first batch_num lanes reproduce batch_generate_init_variables
+    (expert_planner.py:113-130); the wide lanes (extra_lateral_scales) go beyond the
+    reference to escape the zero-gradient ESDF plateau behind obstacles wider than
+    the ±0.6 m ladder can clear; the noisy tail reproduces the sequential
+    re-seeding of warm_start_plan (:193-200) as parallel lanes.
+    """
+    straight = straight_line_wpts(start_pos, target_pos, pp)      # (D, n)
+    diff = target_pos - start_pos
+    longi = diff / (jnp.linalg.norm(diff) + 1e-9)
+    lat = jnp.stack([longi[1], -longi[0]])
+
+    seeds = [straight]
+    sign = 1.0
+    for _ in range(pp.batch_num - 1):
+        seeds.append(straight + sign * pp.lateral_move_dis * lat[:, None])
+        sign = -sign
+    for scale in pp.extra_lateral_scales:
+        seeds.append(straight + scale * pp.lateral_move_dis * lat[:, None])
+    noise = pp.retry_noise_std * jax.random.normal(
+        key, (pp.retry_num,) + straight.shape)
+    for r in range(pp.retry_num):
+        seeds.append(straight + noise[r])
+    return jnp.stack(seeds)
+
+
+def solve_one(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
+              int_wpts0: jnp.ndarray, ts0: jnp.ndarray, pp: PlannerParams
+              ) -> Trajectory:
+    """One L-BFGS solve from one initialization (plan_once, expert_planner.py:205-237).
+
+    head_state/tail_state: (s, D) boundary states (rows beyond those provided by the
+    caller should be zero — matching read_planning_conditions, :170-184).
+    """
+    x0 = costs_mod.pack(int_wpts0, minco.T_to_tau(ts0, pp.t_min, pp.t_max), pp)
+    fun = partial(costs_mod.objective, head_state=head_state,
+                  tail_state=tail_state, emap=emap, pp=pp)
+    res = lbfgs.minimize(fun, x0, max_iters=pp.max_iters, history=pp.history,
+                         max_ls=pp.max_ls, ftol=1e-10, gtol=1e-8)
+    q, tau = costs_mod.unpack(res.x, pp)
+    ts = minco.tau_to_T(tau, pp.t_min, pp.t_max)
+    cvec, coeffs = costs_mod.traj_costs(head_state, tail_state, q, ts, emap, pp)
+    ok = cvec[3] * pp.w_collision <= pp.collision_cost_tol
+    return Trajectory(int_wpts=q, ts=ts, coeffs=coeffs, costs=cvec, ok=ok,
+                      iters=res.iters)
+
+
+def _select(bank: Trajectory, pp: PlannerParams) -> Trajectory:
+    """Pick the accepted solution the reference's priority would pick.
+
+    batch_plan keeps the cheapest feasible of the first batch_num seeds
+    (expert_planner.py:161-165); only if none is feasible does it fall back to the
+    retry ladder (:166-168). Infeasible-everywhere returns the least-colliding lane
+    with ok=False (the caller's retry ladder then widens the local target, mirroring
+    traj_planner_node.py:429-448).
+    """
+    w = costs_mod.weights(pp)
+    total = jax.vmap(lambda c: jnp.dot(c, w))(bank.costs)         # (B,)
+    primary = jnp.arange(total.shape[0]) < pp.batch_num
+
+    INF = jnp.float32(jnp.inf)
+    score_primary = jnp.where(bank.ok & primary, total, INF)
+    score_retry = jnp.where(bank.ok, total, INF)
+    any_primary = jnp.any(bank.ok & primary)
+    any_ok = jnp.any(bank.ok)
+    score_fallback = bank.costs[:, 3]                              # collision cost
+    idx = jnp.where(any_primary, jnp.argmin(score_primary),
+                    jnp.where(any_ok, jnp.argmin(score_retry),
+                              jnp.argmin(score_fallback)))
+    picked = jax.tree_util.tree_map(lambda leaf: leaf[idx], bank)
+    return picked.replace(ok=any_ok, iters=jnp.sum(bank.iters))
+
+
+def plan(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
+         key: jnp.ndarray, pp: PlannerParams) -> Trajectory:
+    """Full expert plan: parallel multi-start + retries, best-feasible selection.
+
+    Equivalent coverage to MinJerkPlanner.plan → batch_plan → warm_start_plan
+    (expert_planner.py:62-80, 142-168, 186-203) in one fixed-shape program.
+    """
+    seeds = seed_bank(head_state[0], tail_state[0], key, pp)       # (B, D, n)
+    ts0 = init_ts(pp)
+    bank = jax.vmap(lambda q0: solve_one(emap, head_state, tail_state, q0, ts0, pp)
+                    )(seeds)
+    return _select(bank, pp)
+
+
+def warm_start_plan(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
+                    int_wpts0: jnp.ndarray, ts0: jnp.ndarray, key: jnp.ndarray,
+                    pp: PlannerParams) -> Trajectory:
+    """Warm-started plan (given initialization first, noisy straight-line retries in
+    parallel) — expert_planner.py:186-203 semantics with the retry loop vectorized.
+    """
+    retries = seed_bank(head_state[0], tail_state[0], key, pp)[pp.batch_num:]
+    seeds = jnp.concatenate([int_wpts0[None], retries], axis=0)
+    ts_bank = jnp.concatenate([ts0[None], jnp.broadcast_to(
+        init_ts(pp), (retries.shape[0], pp.num_pieces))], axis=0)
+    bank = jax.vmap(lambda q0, t0: solve_one(emap, head_state, tail_state, q0, t0, pp)
+                    )(seeds, ts_bank)
+
+    # priority: the warm-start lane if feasible, else cheapest feasible retry
+    w = costs_mod.weights(pp)
+    total = jax.vmap(lambda c: jnp.dot(c, w))(bank.costs)
+    INF = jnp.float32(jnp.inf)
+    any_ok = jnp.any(bank.ok)
+    idx = jnp.where(bank.ok[0], 0,
+                    jnp.where(any_ok, jnp.argmin(jnp.where(bank.ok, total, INF)),
+                              jnp.argmin(bank.costs[:, 3])))
+    picked = jax.tree_util.tree_map(lambda leaf: leaf[idx], bank)
+    return picked.replace(ok=any_ok, iters=jnp.sum(bank.iters))
+
+
+def pad_boundary_state(state_2rows: jnp.ndarray, pp: PlannerParams) -> jnp.ndarray:
+    """(pos; vel) -> (s, D) boundary state with zero acc, as
+    read_planning_conditions does for short inputs (expert_planner.py:175-181)."""
+    out = jnp.zeros((pp.s, pp.dims))
+    return out.at[:2].set(state_2rows[:, : pp.dims])

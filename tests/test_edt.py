@@ -1,0 +1,59 @@
+"""EDT and gradient goldens vs scipy.ndimage."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import ndimage
+
+from neoplanner_tpu.ops import edt
+
+
+def _check(occ, resolution=0.1):
+    want = ndimage.distance_transform_edt(1 - occ) * resolution
+    got = np.asarray(edt.edt(jnp.array(occ, dtype=jnp.float32), resolution))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_random_grids(rng):
+    for density in [0.02, 0.2, 0.7]:
+        occ = (rng.random((48, 64)) < density).astype(np.float32)
+        _check(occ)
+
+
+def test_single_obstacle():
+    occ = np.zeros((40, 40), dtype=np.float32)
+    occ[10, 25] = 1.0
+    _check(occ)
+
+
+def test_full_grid():
+    _check(np.ones((16, 24), dtype=np.float32))
+
+
+def test_empty_grid():
+    occ = np.zeros((16, 24), dtype=np.float32)
+    got = np.asarray(edt.edt(jnp.array(occ), 0.1))
+    assert np.all(got == 1e4)
+
+
+def test_non_multiple_of_block(rng):
+    occ = (rng.random((37, 53)) < 0.1).astype(np.float32)
+    _check(occ)
+
+
+def test_gradient_matches_np(rng):
+    occ = (rng.random((32, 40)) < 0.1).astype(np.float32)
+    res = 0.1
+    field = ndimage.distance_transform_edt(1 - occ) * res
+    gy_np, gx_np = np.gradient(field)
+    gy, gx = edt.central_gradient(jnp.array(field), res)
+    np.testing.assert_allclose(np.asarray(gy), gy_np / res, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), gx_np / res, rtol=1e-4, atol=1e-5)
+
+
+def test_batched(rng):
+    occ = (rng.random((3, 32, 32)) < 0.15).astype(np.float32)
+    got = np.asarray(jax.vmap(lambda o: edt.edt(o, 0.1))(jnp.array(occ)))
+    for i in range(3):
+        want = ndimage.distance_transform_edt(1 - occ[i]) * 0.1
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
