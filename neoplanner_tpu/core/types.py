@@ -63,9 +63,15 @@ class ESDFMap:
 
 @struct.dataclass
 class BoxWorld:
-    """Axis-aligned box obstacle scene (generate_worlds.py:100-146 produces the same
-    thing as Gazebo XML; here it is just arrays)."""
+    """Obstacle scene of axis-aligned boxes and vertical cylinders
+    (generate_worlds.py:100-146 produces the same thing as Gazebo XML; the
+    reference's stock worlds — e.g. poles.world — also contain cylinders)."""
 
     centers: jnp.ndarray    # (K, 3)
-    half_sizes: jnp.ndarray # (K, 3)
+    half_sizes: jnp.ndarray # (K, 3); for cylinders, [:, 0] is the radius
     active: jnp.ndarray     # (K,) bool — static capacity K, masked population
+    shape: jnp.ndarray      # (K,) int32: SHAPE_BOX or SHAPE_CYLINDER
+
+
+SHAPE_BOX = 0
+SHAPE_CYLINDER = 1

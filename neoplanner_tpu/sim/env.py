@@ -1,0 +1,280 @@
+"""The closed loop: mission FSM + receding-horizon replanning + setpoint tracking.
+
+This file is where the reference's entire multi-process node graph —
+manager_node (FSM/goals), traj_planner_node (action server, replanning loop,
+tracking timer), octomap_server/ESDF, PX4+Gazebo (dynamics) — collapses into two
+pure functions over one device-resident pytree:
+
+    state = reset(key, world, ...)
+    state = step_segment(state, ...)   # one replan period: plan once + track
+                                       # cmd_hz * replan_period setpoints
+
+``step_segment`` is jit/vmap-friendly: thousands of envs advance in lockstep, each
+segment = one trajectory optimization (vmapped multi-start L-BFGS) + 60 fused
+control/physics substeps. Mapping to the reference:
+
+- replan-from-1s-ahead:    get_drone_state_ahead (traj_planner_node.py:527-537);
+  the des-state buffer is kept rolled so 'now' is index 0 and the splice point
+  (future_index, :577-578) is statically steps_per_replan.
+- local target + retries:  set_local_target + the 10-retry ladder (:400-448) —
+  failures here cost one replan period each (as they do in real time) and bump
+  ``fail_count`` which feeds noise into the next attempt.
+- tracking timer:          tracking_cmd_timer_cb (:667-703) as a lax.scan.
+- metrics at 10 Hz:        record_metric_cb + get_weighted_metric (:196-210,
+  333-363), accumulated on device.
+- mission FSM:             manager_node.py:93-98; 'random' goal mode for datagen
+  (manager_node.py:160-193).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
+                                   SimParams)
+from neoplanner_tpu.core.types import BoxWorld, DroneState, ESDFMap
+from neoplanner_tpu.mapping import esdf as esdf_map
+from neoplanner_tpu.ops import minco
+from neoplanner_tpu.plan import expert
+from neoplanner_tpu.sim import dynamics, missions
+from neoplanner_tpu.world import voxelize
+
+METRIC_WEIGHTS = (1.0, 1.0, 100.0)  # distance, feasibility, collision
+METRIC_EVERY = 6                    # 60 Hz cmd / 10 Hz metric evaluation
+
+
+@struct.dataclass
+class EnvState:
+    drone: DroneState
+    emap: ESDFMap
+    buffer: jnp.ndarray      # (N_BUF, 3, 2) des pos/vel/acc samples; 'now' = row 0
+    goal: jnp.ndarray        # (2,)
+    phase: jnp.ndarray       # int32 mission FSM phase
+    near_goal: jnp.ndarray   # bool: local target == global target already
+    reached: jnp.ndarray     # bool
+    failed: jnp.ndarray      # bool
+    fail_count: jnp.ndarray  # int32 consecutive replan failures
+    steps: jnp.ndarray       # int32 cmd steps in current mission
+    flap: jnp.ndarray        # int32 random-goal flip-flop
+    metric_pos: jnp.ndarray  # (2,) last 10 Hz-sampled position
+    metrics: jnp.ndarray     # (3,) accumulated distance / vel-viol / coll-viol
+    plan_count: jnp.ndarray  # int32 optimizations run
+    iter_sum: jnp.ndarray    # int32 total L-BFGS iterations
+    missions_done: jnp.ndarray  # int32 completed missions (random mode)
+    key: jnp.ndarray
+
+
+def n_traj_samples(pp: PlannerParams, mp: MissionParams) -> int:
+    return int(math.ceil(pp.num_pieces * pp.t_max * mp.cmd_hz))
+
+
+def n_buffer(pp: PlannerParams, mp: MissionParams) -> int:
+    return n_traj_samples(pp, mp) + mp.steps_per_replan
+
+
+def _hold_buffer(pos2d: jnp.ndarray, n: int) -> jnp.ndarray:
+    buf = jnp.zeros((n, 3, 2))
+    return buf.at[:, 0, :].set(pos2d[None, :])
+
+
+def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
+          pp: PlannerParams, mp: MissionParams, mapp: MapParams,
+          start_pos: Optional[jnp.ndarray] = None,
+          skip_takeoff: bool = True) -> EnvState:
+    """Build the map from the box world and initialize one env.
+
+    goal=None selects 'random' goal sampling at reset (datagen mode); a concrete
+    goal mirrors an RViz /move_base_simple/goal message (manager_node.py:122-137).
+    """
+    occ = voxelize.occupancy_2d(world, mapp)
+    emap = esdf_map.build(occ, jnp.array([mapp.origin_x, mapp.origin_y]),
+                          mapp.resolution)
+
+    key, k_goal = jax.random.split(key)
+    flap = jnp.zeros((), jnp.int32)
+    if goal is None:
+        goal, flap = missions.sample_random_goal(k_goal, flap)
+    goal = jnp.asarray(goal)
+
+    if start_pos is None:
+        start_pos = jnp.array([0.0, 0.0])
+    z0 = mp.hover_height if skip_takeoff else 0.0
+    drone = dynamics.init_state(jnp.array([start_pos[0], start_pos[1], z0]))
+    phase = jnp.asarray(
+        missions.PHASE_MISSION if skip_takeoff else missions.PHASE_TAKEOFF,
+        jnp.int32)
+
+    return EnvState(
+        drone=drone, emap=emap,
+        buffer=_hold_buffer(start_pos, n_buffer(pp, mp)),
+        goal=goal, phase=phase,
+        near_goal=jnp.asarray(False), reached=jnp.asarray(False),
+        failed=jnp.asarray(False), fail_count=jnp.zeros((), jnp.int32),
+        steps=jnp.zeros((), jnp.int32), flap=flap,
+        metric_pos=start_pos, metrics=jnp.zeros(3),
+        plan_count=jnp.zeros((), jnp.int32), iter_sum=jnp.zeros((), jnp.int32),
+        missions_done=jnp.zeros((), jnp.int32), key=key)
+
+
+def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams):
+    """Plan from the state one replan period ahead (buffer row steps_per_replan)."""
+    spr = mp.steps_per_replan
+    ahead = state.buffer[spr]                       # (3, 2): pos, vel, acc
+    head = expert.pad_boundary_state(ahead[:2], pp)
+
+    key, k_t, k_p = jax.random.split(state.key, 3)
+    target_state, near = missions.set_local_target(
+        state.emap, ahead[0], state.goal, k_t, state.fail_count, mp, pp)
+    tail = expert.pad_boundary_state(target_state, pp)
+
+    traj = expert.plan(state.emap, head, tail, k_p, pp)
+    new_cmd, _, _ = minco.full_state_cmd(traj.coeffs, traj.ts, mp.cmd_hz,
+                                         n_traj_samples(pp, mp))
+    return traj, new_cmd, near, key
+
+
+def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
+                   pp: PlannerParams, mp: MissionParams, sp: SimParams):
+    """Scan cmd_hz·replan_period control/physics substeps over the setpoints."""
+    active_phase = (state.phase == missions.PHASE_MISSION)
+    # takeoff climbs toward des_pos_z on held-position setpoints
+    # (manager_node.py:300-313); hover/done hold without mission bookkeeping
+    moving = active_phase | (state.phase == missions.PHASE_TAKEOFF)
+
+    def substep(carry, cmd):
+        drone, reached, steps, metrics, metric_pos, i = carry
+        pos_des = jnp.array([cmd[0, 0], cmd[0, 1], mp.des_pos_z])
+        vel_des = jnp.array([cmd[1, 0], cmd[1, 1], 0.0])
+        acc_des = jnp.array([cmd[2, 0], cmd[2, 1], 0.0])
+        speed = jnp.linalg.norm(cmd[1])
+        yaw_des = jnp.where(speed > 0.05, jnp.arctan2(cmd[1, 1], cmd[1, 0]),
+                            drone.yaw)
+
+        stepped = dynamics.step(drone, pos_des, vel_des, acc_des, yaw_des, sp)
+        freeze = reached | ~moving
+        drone = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(freeze, old, new), drone, stepped)
+
+        pos2 = drone.pos[:2]
+        reached = reached | (active_phase
+                             & (jnp.linalg.norm(pos2 - state.goal)
+                                < mp.target_reach_threshold))
+
+        # 10 Hz closed-loop metric (traj_planner_node.py:333-363)
+        tick = (i % METRIC_EVERY == 0) & active_phase & ~reached
+        d_dist = jnp.linalg.norm(pos2 - metric_pos)
+        violate_vel = jnp.sum(drone.vel[:2] ** 2) - pp.v_max ** 2
+        dis, _ = esdf_map.sample_nearest(state.emap, pos2)
+        violate_dis = pp.safe_dis - dis
+        delta = jnp.stack([d_dist,
+                           jnp.maximum(violate_vel, 0.0) ** 3,
+                           jnp.maximum(violate_dis, 0.0) ** 3])
+        metrics = metrics + jnp.where(tick, delta, 0.0)
+        metric_pos = jnp.where(tick, pos2, metric_pos)
+
+        steps = steps + jnp.where(active_phase & ~reached, 1, 0)
+        return (drone, reached, steps, metrics, metric_pos, i + 1), None
+
+    init = (state.drone, state.reached, state.steps, state.metrics,
+            state.metric_pos, jnp.zeros((), jnp.int32))
+    (drone, reached, steps, metrics, metric_pos, _), _ = jax.lax.scan(
+        substep, init, track_cmds)
+    return drone, reached, steps, metrics, metric_pos
+
+
+def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
+                 sp: SimParams, mission_mode: str = "manual") -> EnvState:
+    """One replan period: (maybe) replan, then track steps_per_replan setpoints.
+
+    mission_mode 'manual': stop at PHASE_DONE when reached/failed.
+    mission_mode 'random': sample the next goal and continue (the data-collection
+    driver, manager_node.py:160-166).
+    """
+    spr = mp.steps_per_replan
+    nbuf = state.buffer.shape[0]
+
+    # --- takeoff / hover phases: climb to hover height, then start the mission
+    at_height = jnp.abs(state.drone.pos[2] - mp.hover_height) < 0.05
+    phase = jnp.where((state.phase == missions.PHASE_TAKEOFF) & at_height,
+                      missions.PHASE_MISSION, state.phase)
+    state = state.replace(phase=phase)
+
+    # --- replan (masked out when not needed; lanes in a vmapped batch that skip
+    # still pay the compute — planning is the segment's dominant cost either way)
+    do_replan = ((state.phase == missions.PHASE_MISSION)
+                 & ~state.near_goal & ~state.reached & ~state.failed)
+    traj, new_cmd, near, key = _replan(state, pp, mp)
+    plan_ok = traj.ok & do_replan
+
+    # --- des-state buffer: this segment tracks rows [0, spr); the next buffer is
+    # either the freshly planned trajectory (spliced at exactly the state we
+    # planned from) or the old buffer shifted left (terminal state held)
+    track_cmds = state.buffer[:spr]
+    shifted = jnp.concatenate(
+        [state.buffer[spr:], jnp.broadcast_to(state.buffer[-1], (spr, 3, 2))])
+    planned = jnp.concatenate(
+        [new_cmd, jnp.broadcast_to(new_cmd[-1], (nbuf - new_cmd.shape[0], 3, 2))])
+    buffer = jnp.where(plan_ok, planned, shifted)
+
+    fail_count = jnp.where(do_replan,
+                           jnp.where(plan_ok, 0, state.fail_count + 1),
+                           state.fail_count)
+    near_goal = jnp.where(plan_ok, near, state.near_goal)
+    plan_count = state.plan_count + do_replan.astype(jnp.int32)
+    iter_sum = state.iter_sum + jnp.where(do_replan, traj.iters, 0)
+
+    state = state.replace(buffer=buffer, fail_count=fail_count,
+                          near_goal=near_goal, plan_count=plan_count,
+                          iter_sum=iter_sum, key=key)
+
+    # --- track
+    drone, reached, steps, metrics, metric_pos = _track_segment(
+        state, track_cmds, pp, mp, sp)
+
+    # --- mission termination: goal reached, too many consecutive replan
+    # failures (traj_planner_node.py:441-445), or the 45 s cap (:253-255)
+    failed = state.failed \
+        | (fail_count > mp.local_target_retries) \
+        | (steps > mp.max_mission_steps)
+
+    state = state.replace(drone=drone, reached=reached, steps=steps,
+                          metrics=metrics, metric_pos=metric_pos, failed=failed)
+
+    done = reached | failed
+    if mission_mode == "random":
+        key, k_goal = jax.random.split(state.key)
+        new_goal, new_flap = missions.sample_random_goal(k_goal, state.flap)
+        state = state.replace(
+            goal=jnp.where(done, new_goal, state.goal),
+            flap=jnp.where(done, new_flap, state.flap),
+            reached=jnp.where(done, False, state.reached),
+            failed=jnp.where(done, False, state.failed),
+            near_goal=jnp.where(done, False, state.near_goal),
+            fail_count=jnp.where(done, 0, state.fail_count),
+            steps=jnp.where(done, 0, state.steps),
+            missions_done=state.missions_done + done.astype(jnp.int32),
+            key=key)
+    else:
+        state = state.replace(
+            phase=jnp.where(done, missions.PHASE_DONE, state.phase))
+    return state
+
+
+def weighted_metric(state: EnvState) -> jnp.ndarray:
+    """Closed-loop weighted cost (traj_planner_node.py:333-363)."""
+    return jnp.dot(state.metrics, jnp.array(METRIC_WEIGHTS))
+
+
+def rollout(state: EnvState, num_segments: int, pp: PlannerParams,
+            mp: MissionParams, sp: SimParams,
+            mission_mode: str = "manual") -> EnvState:
+    """Run num_segments replan periods under lax.scan (jit once, step many)."""
+    def body(s, _):
+        return step_segment(s, pp, mp, sp, mission_mode), None
+    out, _ = jax.lax.scan(body, state, None, length=num_segments)
+    return out

@@ -1,0 +1,117 @@
+"""Closed-loop navigation: reset -> segments -> goal reached, metrics sane."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
+                                   SimParams, WorldParams)
+from neoplanner_tpu.sim import env, missions
+from neoplanner_tpu.world import scenegen
+
+PP = PlannerParams(max_iters=96)  # trimmed optimizer budget keeps CPU tests fast
+MP = MissionParams()
+SP = SimParams()
+MAPP = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return scenegen.generate(jax.random.PRNGKey(7), WorldParams(num_boxes=10))
+
+
+def test_reach_goal_closed_loop(world):
+    goal = jnp.array([12.0, 0.0])
+    state = env.reset(jax.random.PRNGKey(0), world, goal, PP, MP, MAPP)
+    step = jax.jit(env.step_segment, static_argnames=("pp", "mp", "sp",
+                                                      "mission_mode"))
+    for _ in range(30):
+        state = step(state, PP, MP, SP, "manual")
+        if bool(state.reached):
+            break
+    assert bool(state.reached), (float(state.steps), bool(state.failed))
+    # reached within the 45 s cap
+    assert float(state.steps) / MP.cmd_hz < MP.max_target_find_time
+    # drone physically at the goal
+    assert float(jnp.linalg.norm(state.drone.pos[:2] - goal)) < 2 * \
+        MP.target_reach_threshold
+    # closed-loop weighted metric is finite and small (no collisions)
+    wm = float(env.weighted_metric(state))
+    assert wm < 10 * PP.collision_cost_tol  # the mission-failure bar (:359-362)
+    assert int(state.plan_count) >= 2       # receding-horizon actually replanned
+    assert int(state.iter_sum) > 0
+
+
+def test_rollout_scan_matches_python_loop(world):
+    goal = jnp.array([8.0, 1.0])
+    s0 = env.reset(jax.random.PRNGKey(1), world, goal, PP, MP, MAPP)
+    out_scan = jax.jit(env.rollout, static_argnames=(
+        "num_segments", "pp", "mp", "sp", "mission_mode"))(
+            s0, 5, PP, MP, SP, "manual")
+    s = s0
+    for _ in range(5):
+        s = env.step_segment(s, PP, MP, SP, "manual")
+    # jit fusion reassociates f32 arithmetic; tiny cost differences pick different
+    # L-BFGS line-search branches, so trajectories agree only to cm level
+    np.testing.assert_allclose(np.asarray(out_scan.drone.pos),
+                               np.asarray(s.drone.pos), atol=0.05)
+    assert int(out_scan.plan_count) == int(s.plan_count)
+
+
+def test_batched_envs(world):
+    """vmap over envs with different goals — the scaling axis."""
+    # goals verified > safe_dis clear of obstacles in this world (a goal inside an
+    # obstacle correctly fails the mission, as in the reference)
+    goals = jnp.array([[10.0, 0.0], [6.0, 2.0], [8.0, 3.0], [5.0, -3.0]])
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    reset_b = jax.vmap(lambda k, g: env.reset(k, world, g, PP, MP, MAPP))
+    states = reset_b(keys, goals)
+    roll = jax.jit(jax.vmap(
+        lambda s: env.rollout(s, 12, PP, MP, SP, "manual")))
+    out = roll(states)
+    assert out.drone.pos.shape == (4, 3)
+    reached = np.asarray(out.reached)
+    assert reached.sum() >= 3, reached  # most goals reachable in 12 s
+
+
+def test_tracking_error_bounded(world):
+    """The cascaded controller tracks the planned setpoints closely."""
+    goal = jnp.array([10.0, 0.0])
+    state = env.reset(jax.random.PRNGKey(3), world, goal, PP, MP, MAPP)
+    step = jax.jit(env.step_segment, static_argnames=("pp", "mp", "sp",
+                                                      "mission_mode"))
+    errs = []
+    for _ in range(8):
+        des0 = np.asarray(state.buffer[0, 0])    # setpoint about to be tracked
+        state = step(state, PP, MP, SP, "manual")
+        desN = np.asarray(state.buffer[0, 0])
+        errs.append(np.linalg.norm(np.asarray(state.drone.pos[:2]) - desN))
+        if bool(state.reached):
+            break
+    assert np.median(errs) < 0.35, errs  # tracking error well under safe_dis
+
+
+def test_takeoff_phase(world):
+    goal = jnp.array([6.0, 0.0])
+    state = env.reset(jax.random.PRNGKey(4), world, goal, PP, MP, MAPP,
+                      skip_takeoff=False)
+    assert int(state.phase) == missions.PHASE_TAKEOFF
+    step = jax.jit(env.step_segment, static_argnames=("pp", "mp", "sp",
+                                                      "mission_mode"))
+    for _ in range(20):
+        state = step(state, PP, MP, SP, "manual")
+        if bool(state.reached):
+            break
+    assert float(state.drone.pos[2]) > MP.hover_height - 0.3
+    assert bool(state.reached)
+
+
+def test_random_mission_mode(world):
+    """Random goal mode keeps generating missions (the datagen driver)."""
+    state = env.reset(jax.random.PRNGKey(5), world, None, PP, MP, MAPP)
+    step = jax.jit(env.step_segment, static_argnames=("pp", "mp", "sp",
+                                                      "mission_mode"))
+    for _ in range(40):
+        state = step(state, PP, MP, SP, "random")
+    assert int(state.missions_done) >= 1

@@ -1,0 +1,94 @@
+"""World generation, voxelization, SDF, and .world I/O."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neoplanner_tpu.config import MapParams, WorldParams
+from neoplanner_tpu.world import scenegen, voxelize, worldio
+
+REF_WORLD = "/root/reference/src/simulator/worlds/poles.world"
+
+
+def test_generate_respects_bounds_and_clearance():
+    wp = WorldParams()
+    world = scenegen.generate(jax.random.PRNGKey(0), wp)
+    c = np.asarray(world.centers)
+    h = np.asarray(world.half_sizes)
+    a = np.asarray(world.active)
+    assert a.sum() >= wp.num_boxes - 3  # nearly all boxes placed
+    assert np.all(c[a, 0] >= wp.pose_x_min) and np.all(c[a, 0] <= wp.pose_x_max)
+    assert np.all(2 * h[a, 2] >= wp.size_z_min - 1e-5)
+    # pairwise clearance among active boxes
+    idx = np.where(a)[0]
+    for ii, i in enumerate(idx):
+        for j in idx[:ii]:
+            dx = abs(c[i, 0] - c[j, 0])
+            dy = abs(c[i, 1] - c[j, 1])
+            conflict = (dx < h[i, 0] + h[j, 0] + wp.x_clearance
+                        and dy < h[i, 1] + h[j, 1] + wp.y_clearance)
+            assert not conflict, (i, j)
+
+
+def test_generate_batch_unique():
+    wp = WorldParams()
+    worlds = scenegen.generate_batch(jax.random.PRNGKey(1), 4, wp)
+    assert worlds.centers.shape == (4, wp.max_boxes, 3)
+    assert not np.allclose(np.asarray(worlds.centers[0]),
+                           np.asarray(worlds.centers[1]))
+
+
+def test_voxelize_occupancy_marks_boxes():
+    mp = MapParams(width=128, height=128, origin_x=-2.0, origin_y=-6.4)
+    wp = WorldParams(num_boxes=8)
+    world = scenegen.generate(jax.random.PRNGKey(2), wp)
+    occ = np.asarray(voxelize.occupancy_2d(world, mp))
+    c = np.asarray(world.centers)
+    a = np.asarray(world.active)
+    for i in np.where(a)[0]:
+        col = int((c[i, 0] - mp.origin_x) / mp.resolution)
+        row = int((c[i, 1] - mp.origin_y) / mp.resolution)
+        if 0 <= row < mp.height and 0 <= col < mp.width:
+            assert occ[row, col] == 1.0, i
+    # free space far outside obstacle band
+    assert occ[:, :10].sum() == 0  # x < -1 m is obstacle-free by config
+
+
+def test_sdf_sign_and_value():
+    wp = WorldParams(num_boxes=1, max_boxes=4)
+    world = scenegen.generate(jax.random.PRNGKey(3), wp)
+    c = np.asarray(world.centers)
+    h = np.asarray(world.half_sizes)
+    i = int(np.where(np.asarray(world.active))[0][0])
+    center = jnp.array(c[i])
+    d_center = float(voxelize.sdf(world, center))
+    assert d_center < 0  # inside
+    far = center + jnp.array([0.0, 0.0, 20.0])
+    d_far = float(voxelize.sdf(world, far))
+    assert abs(d_far - (20.0 - h[i, 2])) < 1e-3
+
+
+def test_world_roundtrip(tmp_path):
+    wp = WorldParams(num_boxes=6)
+    world = scenegen.generate(jax.random.PRNGKey(4), wp)
+    path = os.path.join(tmp_path, "test.world")
+    worldio.write_world(world, path)
+    back = worldio.parse_world(path, max_boxes=wp.max_boxes)
+    a = np.asarray(world.active)
+    got_c = np.asarray(back.centers)[np.asarray(back.active)]
+    want_c = np.asarray(world.centers)[a]
+    np.testing.assert_allclose(np.sort(got_c, axis=0), np.sort(want_c, axis=0),
+                               atol=1e-4)
+
+
+def test_parse_reference_world():
+    """The reference's poles.world loads into a sane box scene."""
+    world = worldio.parse_world(REF_WORLD)
+    a = np.asarray(world.active)
+    assert a.sum() == 13  # poles.world <state> carries 13 placed boxes
+    c = np.asarray(world.centers)[a]
+    h = np.asarray(world.half_sizes)[a]
+    assert np.all(c[:, 0] > -5) and np.all(c[:, 0] < 35)
+    assert np.all(h > 0)
