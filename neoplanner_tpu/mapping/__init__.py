@@ -1,3 +1,3 @@
-from neoplanner_tpu.mapping import esdf
+from neoplanner_tpu.mapping import esdf, occupancy
 
-__all__ = ["esdf"]
+__all__ = ["esdf", "occupancy"]

@@ -1,0 +1,117 @@
+"""Analytic depth-camera renderer over primitive scenes.
+
+Replaces the Gazebo depth camera (the reference's only exteroceptive sensor,
+`/iris/camera/depth/*` from iris_depth_camera.sdf, consumed at
+traj_planner_node.py:135, 224-225). Because scenes are arrays of boxes/cylinders,
+rendering is exact analytic ray-primitive intersection — one fused (H·W × K)
+slab/quadratic test per frame on the VPU, no marching, no voxel gathers, no
+data-dependent control flow. vmap over envs renders thousands of frames per step.
+
+Conventions match the reference: camera looks along body +x with the standard
+optical frame (tf_server.launch:12-17's -90° optical rotation), returns z-depth
+(not ray length) like Gazebo, max_range where no hit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from neoplanner_tpu.config import CameraParams
+from neoplanner_tpu.core import frames
+from neoplanner_tpu.core.types import SHAPE_CYLINDER, BoxWorld
+
+_INF = 1e9
+
+
+def ray_dirs_camera(cam: CameraParams) -> jnp.ndarray:
+    """(H, W, 3) unit ray directions in the *body* frame (x fwd, y left, z up).
+
+    Optical-frame pixel rays ((u-cx)/fx, (v-cy)/fy, 1) are rotated into the body
+    frame: optical z -> body x, optical x -> -body y, optical y -> -body z.
+    """
+    u = jnp.arange(cam.width) + 0.5
+    v = jnp.arange(cam.height) + 0.5
+    x_opt = (u[None, :] - cam.width / 2) / cam.fx
+    y_opt = (v[:, None] - cam.height / 2) / cam.fy
+    ones = jnp.ones((cam.height, cam.width))
+    d_body = jnp.stack([ones, -x_opt * ones, -y_opt * ones], axis=-1)
+    return d_body / jnp.linalg.norm(d_body, axis=-1, keepdims=True)
+
+
+def _ray_box(o, d, centers, half):
+    """Entry distance of rays (..., 3) into boxes (K, 3): (..., K)."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    lo = (centers - half - o[..., None, :]) * inv[..., None, :]
+    hi = (centers + half - o[..., None, :]) * inv[..., None, :]
+    tmin = jnp.max(jnp.minimum(lo, hi), axis=-1)
+    tmax = jnp.min(jnp.maximum(lo, hi), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, 0.0))
+    return jnp.where(hit & (tmin > 0), tmin, _INF)
+
+
+def _ray_cylinder(o, d, centers, half):
+    """Entry distance into vertical capped cylinders (radius = half[:, 0])."""
+    ox = o[..., None, 0] - centers[:, 0]
+    oy = o[..., None, 1] - centers[:, 1]
+    dx = d[..., None, 0]
+    dy = d[..., None, 1]
+    r = half[:, 0]
+    a = dx * dx + dy * dy
+    b = 2 * (ox * dx + oy * dy)
+    c = ox * ox + oy * oy - r * r
+    disc = b * b - 4 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(a < 1e-12, 1e-12, a)
+    t_side = (-b - sq) / (2 * a_safe)
+    z_at = o[..., None, 2] + t_side * d[..., None, 2]
+    z_ok = jnp.abs(z_at - centers[:, 2]) <= half[:, 2]
+    side = jnp.where((disc > 0) & (t_side > 0) & z_ok, t_side, _INF)
+    # caps
+    dz = d[..., None, 2]
+    dz_safe = jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    oz = o[..., None, 2] - centers[:, 2]
+    t_caps = []
+    for sgn in (-1.0, 1.0):
+        t = (sgn * half[:, 2] - oz) / dz_safe
+        xc = ox + t * dx
+        yc = oy + t * dy
+        ok = (t > 0) & (xc * xc + yc * yc <= r * r)
+        t_caps.append(jnp.where(ok, t, _INF))
+    return jnp.minimum(side, jnp.minimum(*t_caps))
+
+
+def render_depth(world: BoxWorld, pos: jnp.ndarray, quat: jnp.ndarray,
+                 cam: CameraParams) -> jnp.ndarray:
+    """(H, W) z-depth image from a camera at `pos` with body attitude `quat`."""
+    dirs_body = ray_dirs_camera(cam)                       # (H, W, 3)
+    dirs = frames.quat_rotate(quat[None, None, :], dirs_body)
+
+    t_box = _ray_box(pos, dirs, world.centers, world.half_sizes)
+    t_cyl = _ray_cylinder(pos, dirs, world.centers, world.half_sizes)
+    t_prim = jnp.where(world.shape == SHAPE_CYLINDER, t_cyl, t_box)
+    t_prim = jnp.where(world.active, t_prim, _INF)
+    t = jnp.min(t_prim, axis=-1)                           # (H, W)
+
+    # ground plane z=0
+    dz = dirs[..., 2]
+    t_ground = jnp.where(dz < -1e-6, -pos[2] / jnp.where(dz < -1e-6, dz, -1.0),
+                         _INF)
+    t = jnp.minimum(t, t_ground)
+
+    # z-depth = range along the body-x (optical-z) axis, Gazebo-style
+    x_body = frames.quat_rotate(quat, jnp.array([1.0, 0.0, 0.0]))
+    z_depth = t * jnp.einsum("hwd,d->hw", dirs, x_body)
+    valid = (t < _INF) & (z_depth >= cam.min_range) & (z_depth <= cam.max_range)
+    return jnp.where(valid, z_depth, cam.max_range)
+
+
+def depth_to_points(depth: jnp.ndarray, pos: jnp.ndarray, quat: jnp.ndarray,
+                    cam: CameraParams):
+    """Back-project a depth image to world points: ((H, W, 3), hit_mask (H, W))."""
+    dirs_body = ray_dirs_camera(cam)
+    x_comp = dirs_body[..., 0]                             # body-x component
+    rng = depth / jnp.maximum(x_comp, 1e-6)                # ray length from z-depth
+    pts_body = dirs_body * rng[..., None]
+    pts = pos + frames.quat_rotate(quat[None, None, :], pts_body)
+    hit = depth < cam.max_range - 1e-4
+    return pts, hit

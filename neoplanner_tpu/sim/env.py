@@ -35,12 +35,14 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
-                                   SimParams)
+from neoplanner_tpu.config import (CameraParams, MapParams, MissionParams,
+                                   PlannerParams, SimParams)
 from neoplanner_tpu.core.types import BoxWorld, DroneState, ESDFMap
 from neoplanner_tpu.mapping import esdf as esdf_map
+from neoplanner_tpu.mapping import occupancy
 from neoplanner_tpu.ops import minco
 from neoplanner_tpu.plan import expert
+from neoplanner_tpu.sense import raycast
 from neoplanner_tpu.sim import dynamics, missions
 from neoplanner_tpu.world import voxelize
 
@@ -52,6 +54,8 @@ METRIC_EVERY = 6                    # 60 Hz cmd / 10 Hz metric evaluation
 class EnvState:
     drone: DroneState
     emap: ESDFMap
+    world: BoxWorld          # ground-truth scene (renders depth in 'depth' mode)
+    logodds: jnp.ndarray     # (H, W) occupancy log-odds ('depth' mode; else zeros)
     buffer: jnp.ndarray      # (N_BUF, 3, 2) des pos/vel/acc samples; 'now' = row 0
     goal: jnp.ndarray        # (2,)
     phase: jnp.ndarray       # int32 mission FSM phase
@@ -85,13 +89,20 @@ def _hold_buffer(pos2d: jnp.ndarray, n: int) -> jnp.ndarray:
 def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
           pp: PlannerParams, mp: MissionParams, mapp: MapParams,
           start_pos: Optional[jnp.ndarray] = None,
-          skip_takeoff: bool = True) -> EnvState:
+          skip_takeoff: bool = True, sensing: str = "gt") -> EnvState:
     """Build the map from the box world and initialize one env.
 
     goal=None selects 'random' goal sampling at reset (datagen mode); a concrete
     goal mirrors an RViz /move_base_simple/goal message (manager_node.py:122-137).
+
+    sensing='gt' bakes the ground-truth map at reset (the reference's global-map
+    mode, sim_global.launch + publish_pointcloud.cpp); 'depth' starts the map
+    unknown and builds it online from rendered depth (the onboard mode).
     """
-    occ = voxelize.occupancy_2d(world, mapp)
+    if sensing == "gt":
+        occ = voxelize.occupancy_2d(world, mapp)
+    else:
+        occ = jnp.zeros((mapp.height, mapp.width))
     emap = esdf_map.build(occ, jnp.array([mapp.origin_x, mapp.origin_y]),
                           mapp.resolution)
 
@@ -110,7 +121,8 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
         jnp.int32)
 
     return EnvState(
-        drone=drone, emap=emap,
+        drone=drone, emap=emap, world=world,
+        logodds=occupancy.logodds_init(mapp),
         buffer=_hold_buffer(start_pos, n_buffer(pp, mp)),
         goal=goal, phase=phase,
         near_goal=jnp.asarray(False), reached=jnp.asarray(False),
@@ -187,9 +199,29 @@ def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
     return drone, reached, steps, metrics, metric_pos
 
 
+def sense_and_map(state: EnvState, mapp: MapParams, cam: CameraParams
+                  ) -> EnvState:
+    """Render a depth frame from the current pose, fuse it, rebuild the ESDF.
+
+    The perception side-chain of the reference (depth cam -> octomap_server ->
+    projected_map -> ESDF.occupancy_map_cb, SURVEY.md §3.1) as one fused pass.
+    """
+    depth = raycast.render_depth(state.world, state.drone.pos, state.drone.quat,
+                                 cam)
+    logodds = occupancy.insert_depth(state.logodds, depth, state.drone.pos,
+                                     state.drone.quat, cam, mapp)
+    occ = occupancy.to_occupancy(logodds, mapp)
+    emap = esdf_map.build(occ, jnp.array([mapp.origin_x, mapp.origin_y]),
+                          mapp.resolution)
+    return state.replace(logodds=logodds, emap=emap)
+
+
 def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
-                 sp: SimParams, mission_mode: str = "manual") -> EnvState:
-    """One replan period: (maybe) replan, then track steps_per_replan setpoints.
+                 sp: SimParams, mission_mode: str = "manual",
+                 sensing: str = "gt", mapp: Optional[MapParams] = None,
+                 cam: Optional[CameraParams] = None) -> EnvState:
+    """One replan period: sense (in 'depth' mode), (maybe) replan, then track
+    steps_per_replan setpoints.
 
     mission_mode 'manual': stop at PHASE_DONE when reached/failed.
     mission_mode 'random': sample the next goal and continue (the data-collection
@@ -197,6 +229,13 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
     """
     spr = mp.steps_per_replan
     nbuf = state.buffer.shape[0]
+
+    # --- perception (onboard mode): one depth frame fused per replan period —
+    # the reference's octomap updates continuously but the planner only consumes
+    # the map at replan time
+    if sensing == "depth":
+        assert mapp is not None and cam is not None
+        state = sense_and_map(state, mapp, cam)
 
     # --- takeoff / hover phases: climb to hover height, then start the mission
     at_height = jnp.abs(state.drone.pos[2] - mp.hover_height) < 0.05
@@ -271,10 +310,11 @@ def weighted_metric(state: EnvState) -> jnp.ndarray:
 
 
 def rollout(state: EnvState, num_segments: int, pp: PlannerParams,
-            mp: MissionParams, sp: SimParams,
-            mission_mode: str = "manual") -> EnvState:
+            mp: MissionParams, sp: SimParams, mission_mode: str = "manual",
+            sensing: str = "gt", mapp: Optional[MapParams] = None,
+            cam: Optional[CameraParams] = None) -> EnvState:
     """Run num_segments replan periods under lax.scan (jit once, step many)."""
     def body(s, _):
-        return step_segment(s, pp, mp, sp, mission_mode), None
+        return step_segment(s, pp, mp, sp, mission_mode, sensing, mapp, cam), None
     out, _ = jax.lax.scan(body, state, None, length=num_segments)
     return out
