@@ -1,0 +1,102 @@
+"""Headline benchmark: aggregate sim+replan throughput of the closed loop.
+
+Runs B parallel envs of the full pipeline — receding-horizon expert replanning
+(multi-start L-BFGS) + 60 Hz control/physics tracking — on the available device
+mesh and reports aggregate sim+replan steps/sec (one step = one 60 Hz command
+period; each 60-step segment includes one full trajectory optimization).
+
+Baseline (BASELINE.md): > 1M aggregate steps/s on a v5e-8 → 125k per chip.
+vs_baseline is measured against that per-chip pro-rata target.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Env knobs: BENCH_ENVS (default 1024), BENCH_SEGMENTS (default 4),
+BENCH_MAX_ITERS (default 32).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
+                                   SimParams, WorldParams)  # noqa: E402
+from neoplanner_tpu.parallel import mesh as pmesh  # noqa: E402
+from neoplanner_tpu.sim import env  # noqa: E402
+from neoplanner_tpu.world import scenegen  # noqa: E402
+
+
+def main():
+    B = int(os.environ.get("BENCH_ENVS", 1024))
+    K = int(os.environ.get("BENCH_SEGMENTS", 4))
+    max_iters = int(os.environ.get("BENCH_MAX_ITERS", 32))
+
+    pp = PlannerParams(max_iters=max_iters)
+    mp = MissionParams()
+    sp = SimParams()
+    mapp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
+    wp = WorldParams(num_boxes=10)
+
+    n_dev = len(jax.devices())
+    mesh = pmesh.make_mesh()
+
+    worlds = scenegen.generate_batch(jax.random.PRNGKey(0), B, wp)
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    states = jax.jit(jax.vmap(
+        lambda k, w: env.reset(k, w, None, pp, mp, mapp)))(keys, worlds)
+    states = pmesh.shard_batch(states, mesh)
+
+    def step_all(s):
+        return jax.vmap(lambda x: env.step_segment(
+            x, pp, mp, sp, mission_mode="random", plan_map="scene")[0])(s)
+
+    step = pmesh.sharded_vmap_step(step_all, mesh)
+
+    # warmup (compile + one segment)
+    t0 = time.time()
+    states = step(states)
+    jax.block_until_ready(states.drone.pos)
+    warm = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(K):
+        states = step(states)
+    jax.block_until_ready(states.drone.pos)
+    dt = time.time() - t0
+
+    spr = mp.steps_per_replan
+    steps_per_sec = B * spr * K / dt
+    replans_per_sec = B * K / dt
+    baseline = 1_000_000.0 * n_dev / 8.0
+
+    result = {
+        "metric": "aggregate sim+replan steps/sec (closed loop, expert planner)",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / baseline, 4),
+        "extras": {
+            "envs": B,
+            "devices": n_dev,
+            "segments_timed": K,
+            "replans_per_sec": round(replans_per_sec, 2),
+            "seconds_per_segment_batch": round(dt / K, 3),
+            "warmup_seconds": round(warm, 1),
+            "planner_max_iters": max_iters,
+            "missions_done": int(np.asarray(states.missions_done).sum()),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,7 +66,9 @@ class PlannerParams:
     max_iters: int = 256          # L-BFGS iteration cap (static; reference uses 15000
                                   # but converges in far fewer — see tests)
     history: int = 10             # L-BFGS memory (maxcor)
-    max_ls: int = 20              # line-search step cap (maxls)
+    max_ls: int = 8               # parallel line-search candidates (halving from
+                                  # the unit step; the reference's sequential
+                                  # maxls=20 is an upper bound it rarely reaches)
 
     # cost sampling mode: 'absolute' reproduces the reference discretization
     # (samples at t=j*delta_t, j < floor(T/delta_t)); 'relative' samples at

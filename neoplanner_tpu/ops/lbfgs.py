@@ -82,7 +82,7 @@ def _two_loop(g, s_hist, y_hist, rho, head, count, m):
 
 
 def minimize(fun: Callable, x0: jnp.ndarray, *, max_iters: int = 256,
-             history: int = 10, max_ls: int = 20, ftol: float = 1e-9,
+             history: int = 10, max_ls: int = 8, ftol: float = 1e-9,
              gtol: float = 1e-6, c1: float = 1e-4) -> LBFGSResult:
     """Minimize ``fun(x) -> scalar`` from x0. All arguments after x0 are static."""
     n = x0.shape[0]
@@ -115,20 +115,20 @@ def minimize(fun: Callable, x0: jnp.ndarray, *, max_iters: int = 256,
                            jnp.linalg.norm(st.g, ord=1), 1e-12)),
                        1.0)
 
-        # backtracking Armijo line search (halving), at most max_ls evaluations
-        def ls_cond(carry):
-            t, f_new, k, ok = carry
-            return (~ok) & (k < max_ls)
-
-        def ls_body(carry):
-            t, _, k, _ = carry
-            f_new = fun(st.x + t * d)
-            ok = f_new <= st.f + c1 * t * gtd
-            t_next = jnp.where(ok, t, t * 0.5)
-            return t_next, f_new, k + 1, ok
-
-        t, f_try, _, ls_ok = jax.lax.while_loop(
-            ls_cond, ls_body, (t0, st.f, jnp.array(0), jnp.array(False)))
+        # PARALLEL backtracking line search: evaluate the whole halving schedule
+        # t0·2^-k in one widened batch and take the first Armijo-acceptable step.
+        # Identical result to sequential backtracking, but a batched while_loop
+        # would run every vmapped lane to the slowest lane's step count; this is
+        # one fused evaluation regardless of batch shape.
+        steps = t0 * (0.5 ** jnp.arange(max_ls))
+        f_cand = jax.vmap(lambda t: fun(st.x + t * d))(steps)
+        armijo = f_cand <= st.f + c1 * steps * gtd
+        first_ok = jnp.argmax(armijo)          # first True (0 if none)
+        ls_ok = jnp.any(armijo)
+        best = jnp.argmin(jnp.where(jnp.isnan(f_cand), jnp.inf, f_cand))
+        pick = jnp.where(ls_ok, first_ok, best)
+        t = steps[pick]
+        f_try = f_cand[pick]
 
         # accept any strict decrease even if Armijo never fired
         accept = ls_ok | (f_try < st.f)

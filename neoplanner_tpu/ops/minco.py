@@ -74,38 +74,122 @@ def build_system(head_state: jnp.ndarray, tail_state: jnp.ndarray,
     M = ts.shape[0]
     n = 6 * M
 
-    A = jnp.zeros((n, n))
-    b = jnp.zeros((n, D))
-
-    # initial conditions: beta_k(0) rows reduce to unit entries
-    A = A.at[0, 0].set(1.0).at[1, 1].set(1.0).at[2, 2].set(2.0)
-    b = b.at[0:3].set(head_state)
+    # One fused scatter builds A: static (row, col) index arrays + a single
+    # concatenated value vector. (Entry-by-entry .at[].set updates — ~50 of
+    # them — made XLA compilation of the enclosing optimizer graphs painfully
+    # slow.)
+    rows_ix, cols_ix = [0, 1, 2], [0, 1, 2]
+    vals = [jnp.array([1.0, 1.0, 2.0])]
 
     for i in range(M - 1):
         Ti = ts[i]
         r = 6 * i + 3
         c = 6 * i
-        # waypoint pin: pos_i(T_i) = q_i
-        A = A.at[r, c:c + 6].set(beta(Ti, 0))
-        b = b.at[r].set(int_wpts[:, i])
-        # continuity C^0..C^4: pos_i(T_i) - pos_{i+1}(0) = 0, etc.
-        for k in range(5):
-            A = A.at[r + 1 + k, c:c + 6].set(beta(Ti, k))
-            A = A.at[r + 1 + k, c + 6 + k].set(-_FALLING[k][k])
+        # waypoint pin + C^0..C^4 continuity rows: six beta rows over cols
+        # c..c+5, then the -k! identity entries at col c+6+k
+        for k_row, k in [(r, 0), (r + 1, 0), (r + 2, 1), (r + 3, 2),
+                         (r + 4, 3), (r + 5, 4)]:
+            rows_ix.extend([k_row] * 6)
+            cols_ix.extend(range(c, c + 6))
+            vals.append(beta(Ti, k))
+        rows_ix.extend([r + 1 + k for k in range(5)])
+        cols_ix.extend([c + 6 + k for k in range(5)])
+        vals.append(jnp.array([-_FALLING[k][k] for k in range(5)]))
 
     Tm = ts[M - 1]
     for k in range(3):
-        A = A.at[n - 3 + k, n - 6:n].set(beta(Tm, k))
+        rows_ix.extend([n - 3 + k] * 6)
+        cols_ix.extend(range(n - 6, n))
+        vals.append(beta(Tm, k))
+
+    A = jnp.zeros((n, n)).at[jnp.array(rows_ix), jnp.array(cols_ix)].set(
+        jnp.concatenate(vals))
+
+    b = jnp.zeros((n, D))
+    b = b.at[0:3].set(head_state)
     b = b.at[n - 3:n].set(tail_state)
+    wpt_rows = jnp.array([6 * i + 3 for i in range(M - 1)])
+    b = b.at[wpt_rows].set(int_wpts.T)
 
     return A, b
+
+
+# The boundary/continuity matrix is banded: lower bandwidth 4 (e.g. the C^4
+# continuity row 6i+8 reaches back to column 6i+4), upper bandwidth 2 (the -k!
+# identity entries at column 6i+6+k). Givens QR preserves bandwidth <= p+q = 6.
+_LOWER_BW = 4
+_UPPER_BW = 6
+
+
+def _givens_solve(A: jnp.ndarray, b: jnp.ndarray, lower_bw: int,
+                  upper_bw: int) -> jnp.ndarray:
+    """Unrolled banded Givens-QR solve of A x = b (no pivoting needed — Givens
+    QR is unconditionally stable). Rows are carried as a Python list of vectors
+    during tracing, so the graph contains no scatter updates."""
+    n = A.shape[0]
+    rows = [jnp.concatenate([A[i], b[i]]) for i in range(n)]
+    for c in range(n):
+        for r in range(c + 1, min(c + lower_bw + 1, n)):
+            a_cc = rows[c][c]
+            a_rc = rows[r][c]
+            denom = jnp.sqrt(a_cc * a_cc + a_rc * a_rc)
+            safe = denom > 1e-20
+            inv = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+            cs = jnp.where(safe, a_cc * inv, 1.0)
+            sn = a_rc * inv
+            rc, rr = rows[c], rows[r]
+            rows[c] = cs * rc + sn * rr
+            rows[r] = cs * rr - sn * rc
+    # back substitution on the filled (lower+upper bandwidth) upper triangle
+    fill = lower_bw + upper_bw
+    xs = [None] * n
+    for c in range(n - 1, -1, -1):
+        hi = min(c + fill + 1, n)
+        acc = rows[c][n:]
+        for j in range(c + 1, hi):
+            acc = acc - rows[c][j] * xs[j]
+        xs[c] = acc / rows[c][c]
+    return jnp.stack(xs)
+
+
+@jax.custom_vjp
+def solve_banded(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Banded solve of the MINCO system A x = b.
+
+    TPU-native replacement for ``jnp.linalg.solve``: batched LAPACK-style LU of
+    tiny matrices serializes terribly on TPU (measured 9.1 ms of a 12.5 ms cost
+    evaluation at batch 256); the unrolled Givens QR is pure fused VPU
+    arithmetic. The backward pass is *implicit* differentiation — one transposed
+    banded solve Aᵀλ = x̄, then Ā = -λ xᵀ, b̄ = λ — which is exactly the adjoint
+    the reference hand-derives (expert_planner.py:494-537, the solve(Aᵀ, grad_C)
+    at :503). Naive autodiff through the 72 rotation steps compiles a
+    pathological reverse graph (208 s on CPU); the implicit form keeps both
+    directions tiny.
+    """
+    return _givens_solve(A, b, _LOWER_BW, _UPPER_BW - _LOWER_BW)
+
+
+def _solve_banded_fwd(A, b):
+    x = _givens_solve(A, b, _LOWER_BW, _UPPER_BW - _LOWER_BW)
+    return x, (A, x)
+
+
+def _solve_banded_bwd(res, x_bar):
+    A, x = res
+    # Aᵀ has the transposed band: lower = original upper (2), upper = 4
+    lam = _givens_solve(A.T, x_bar, _UPPER_BW - _LOWER_BW, _LOWER_BW)
+    A_bar = -lam @ x.T
+    return A_bar, lam
+
+
+solve_banded.defvjp(_solve_banded_fwd, _solve_banded_bwd)
 
 
 def solve_coeffs(head_state: jnp.ndarray, tail_state: jnp.ndarray,
                  int_wpts: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
     """coeffs (6M, D) solving the boundary/continuity system (traj_utils.py:83)."""
     A, b = build_system(head_state, tail_state, int_wpts, ts)
-    return jnp.linalg.solve(A, b)
+    return solve_banded(A, b)
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,20 @@ import jax.numpy as jnp
 from neoplanner_tpu.config import PlannerParams
 from neoplanner_tpu.core.types import ESDFMap
 from neoplanner_tpu.mapping import esdf as esdf_map
+from neoplanner_tpu.mapping import scene as scene_map
 from neoplanner_tpu.ops import minco
+
+
+def map_distance(map_obj, pos: jnp.ndarray, pp: PlannerParams):
+    """Collision distance at (..., 2) points from either map backend:
+
+    - ESDFMap: rasterized distance field (reference parity; vision mode)
+    - SceneMap: analytic signed scene SDF (simulation fast path; smooth and
+      signed inside obstacles — see mapping/scene.py)
+    """
+    if isinstance(map_obj, scene_map.SceneMap):
+        return scene_map.sample(map_obj, pos)
+    return esdf_map.sample(map_obj, pos, mode=pp.esdf_interp)
 
 
 def _cubic_hinge(x: jnp.ndarray) -> jnp.ndarray:
@@ -79,7 +92,7 @@ def sampled_costs(coeffs: jnp.ndarray, ts: jnp.ndarray, emap: ESDFMap,
     violate_vel = jnp.sum(vel * vel, axis=-1) - pp.v_max ** 2
     feas = jnp.sum(w * _cubic_hinge(violate_vel))
 
-    dis, _ = esdf_map.sample(emap, pos[..., :2], mode=pp.esdf_interp)
+    dis, _ = map_distance(emap, pos[..., :2], pp)
     violate_dis = pp.safe_dis - dis
     coll = jnp.sum(w * _cubic_hinge(violate_dis))
     return feas, coll

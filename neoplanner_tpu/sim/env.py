@@ -40,6 +40,7 @@ from neoplanner_tpu.config import (CameraParams, MapParams, MissionParams,
 from neoplanner_tpu.core.types import BoxWorld, DroneState, ESDFMap
 from neoplanner_tpu.mapping import esdf as esdf_map
 from neoplanner_tpu.mapping import occupancy
+from neoplanner_tpu.mapping import scene as scene_map
 from neoplanner_tpu.ops import minco
 from neoplanner_tpu.plan import expert
 from neoplanner_tpu.sense import raycast
@@ -54,6 +55,7 @@ METRIC_EVERY = 6                    # 60 Hz cmd / 10 Hz metric evaluation
 class EnvState:
     drone: DroneState
     emap: ESDFMap
+    scene: scene_map.SceneMap  # analytic footprint map (plan_map='scene' path)
     world: BoxWorld          # ground-truth scene (renders depth in 'depth' mode)
     logodds: jnp.ndarray     # (H, W) occupancy log-odds ('depth' mode; else zeros)
     buffer: jnp.ndarray      # (N_BUF, 3, 2) des pos/vel/acc samples; 'now' = row 0
@@ -67,10 +69,28 @@ class EnvState:
     flap: jnp.ndarray        # int32 random-goal flip-flop
     metric_pos: jnp.ndarray  # (2,) last 10 Hz-sampled position
     metrics: jnp.ndarray     # (3,) accumulated distance / vel-viol / coll-viol
+    carry_wpts: jnp.ndarray  # (D, M-1) waypoints relative to plan-init pos
+    carry_ts: jnp.ndarray    # (M,) last solution durations ('warmstart' planner)
+    has_carry: jnp.ndarray   # bool: carry_wpts/ts hold a previous solution
     plan_count: jnp.ndarray  # int32 optimizations run
     iter_sum: jnp.ndarray    # int32 total L-BFGS iterations
     missions_done: jnp.ndarray  # int32 completed missions (random mode)
     key: jnp.ndarray
+
+
+@struct.dataclass
+class SegmentInfo:
+    """Per-segment record emitted by step_segment — everything the expert-data
+    recorder needs to form one training sample (record_planner.py:136-150)."""
+
+    planned: jnp.ndarray    # bool: a replan was attempted this segment
+    ok: jnp.ndarray         # bool: the plan was accepted
+    int_wpts: jnp.ndarray   # (D, M-1) solution waypoints (world frame)
+    ts: jnp.ndarray         # (M,)
+    drone: DroneState       # drone state at record time (segment start)
+    plan_init: jnp.ndarray  # (2, 2) pos/vel the plan started from
+    target: jnp.ndarray     # (2, 2) local target state
+    iters: jnp.ndarray      # L-BFGS iterations spent
 
 
 def n_traj_samples(pp: PlannerParams, mp: MissionParams) -> int:
@@ -121,7 +141,7 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
         jnp.int32)
 
     return EnvState(
-        drone=drone, emap=emap, world=world,
+        drone=drone, emap=emap, scene=scene_map.build(world, mapp), world=world,
         logodds=occupancy.logodds_init(mapp),
         buffer=_hold_buffer(start_pos, n_buffer(pp, mp)),
         goal=goal, phase=phase,
@@ -129,12 +149,26 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
         failed=jnp.asarray(False), fail_count=jnp.zeros((), jnp.int32),
         steps=jnp.zeros((), jnp.int32), flap=flap,
         metric_pos=start_pos, metrics=jnp.zeros(3),
+        carry_wpts=jnp.zeros((pp.dims, pp.num_wpts)),
+        carry_ts=jnp.full((pp.num_pieces,), pp.init_t),
+        has_carry=jnp.asarray(False),
         plan_count=jnp.zeros((), jnp.int32), iter_sum=jnp.zeros((), jnp.int32),
         missions_done=jnp.zeros((), jnp.int32), key=key)
 
 
-def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams):
-    """Plan from the state one replan period ahead (buffer row steps_per_replan)."""
+def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
+            planner: str = "expert", net_vars=None, np_cfg=None,
+            cam: Optional[CameraParams] = None, plan_map: str = "grid"):
+    """Plan from the state one replan period ahead (buffer row steps_per_replan).
+
+    ``planner`` is the reference's selected_planner dispatch
+    (traj_planner_node.py:97-109, 544-560):
+      'expert'    — multi-start + retry bank (covers 'basic'/'batch' modes)
+      'warmstart' — re-seed from the previous solution carried in body-relative
+                    coordinates (get_int_wpts_local, :580-587, 597-614)
+      'nn'        — network prediction used as-is (no refinement, no rejection)
+      'neo'       — network prediction + expert refinement (the paper's planner)
+    """
     spr = mp.steps_per_replan
     ahead = state.buffer[spr]                       # (3, 2): pos, vel, acc
     head = expert.pad_boundary_state(ahead[:2], pp)
@@ -144,10 +178,39 @@ def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams):
         state.emap, ahead[0], state.goal, k_t, state.fail_count, mp, pp)
     tail = expert.pad_boundary_state(target_state, pp)
 
-    traj = expert.plan(state.emap, head, tail, k_p, pp)
+    # planning-time collision backend: sensed grid (parity/vision) or analytic
+    # scene SDF (simulation fast path, mapping/scene.py)
+    pmap = state.scene if plan_map == "scene" else state.emap
+
+    if planner == "expert":
+        traj = expert.plan(pmap, head, tail, k_p, pp)
+    elif planner == "warmstart":
+        q0 = state.carry_wpts + ahead[0][:, None]
+        warm = expert.warm_start_plan(pmap, head, tail, q0,
+                                      state.carry_ts, k_p, pp)
+        cold = expert.plan(pmap, head, tail, k_p, pp)
+        traj = jax.tree_util.tree_map(
+            lambda w, c: jnp.where(state.has_carry, w, c), warm, cold)
+    elif planner in ("nn", "neo"):
+        assert net_vars is not None and np_cfg is not None and cam is not None
+        depth = raycast.render_depth(state.world, state.drone.pos,
+                                     state.drone.quat, cam)
+        if planner == "nn":
+            from neoplanner_tpu.plan import nn_init
+            traj = nn_init.nn_trajectory(net_vars, np_cfg, depth, state.drone,
+                                         mp.des_pos_z, ahead[:2], target_state,
+                                         head, tail, pp)
+        else:
+            from neoplanner_tpu.plan import neo
+            traj = neo.enhanced_plan(pmap, net_vars, np_cfg, depth,
+                                     state.drone, mp.des_pos_z, ahead[:2],
+                                     target_state, k_p, pp)
+    else:
+        raise ValueError(f"unknown planner: {planner}")
+
     new_cmd, _, _ = minco.full_state_cmd(traj.coeffs, traj.ts, mp.cmd_hz,
                                          n_traj_samples(pp, mp))
-    return traj, new_cmd, near, key
+    return traj, new_cmd, near, key, ahead[:2], target_state
 
 
 def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
@@ -219,7 +282,8 @@ def sense_and_map(state: EnvState, mapp: MapParams, cam: CameraParams
 def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
                  sp: SimParams, mission_mode: str = "manual",
                  sensing: str = "gt", mapp: Optional[MapParams] = None,
-                 cam: Optional[CameraParams] = None) -> EnvState:
+                 cam: Optional[CameraParams] = None, planner: str = "expert",
+                 net_vars=None, np_cfg=None, plan_map: str = "grid"):
     """One replan period: sense (in 'depth' mode), (maybe) replan, then track
     steps_per_replan setpoints.
 
@@ -247,8 +311,12 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
     # still pay the compute — planning is the segment's dominant cost either way)
     do_replan = ((state.phase == missions.PHASE_MISSION)
                  & ~state.near_goal & ~state.reached & ~state.failed)
-    traj, new_cmd, near, key = _replan(state, pp, mp)
+    traj, new_cmd, near, key, plan_init, target_state = _replan(
+        state, pp, mp, planner, net_vars, np_cfg, cam, plan_map)
     plan_ok = traj.ok & do_replan
+    info = SegmentInfo(planned=do_replan, ok=plan_ok, int_wpts=traj.int_wpts,
+                       ts=traj.ts, drone=state.drone, plan_init=plan_init,
+                       target=target_state, iters=traj.iters)
 
     # --- des-state buffer: this segment tracks rows [0, spr); the next buffer is
     # either the freshly planned trajectory (spliced at exactly the state we
@@ -267,9 +335,17 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
     plan_count = state.plan_count + do_replan.astype(jnp.int32)
     iter_sum = state.iter_sum + jnp.where(do_replan, traj.iters, 0)
 
+    # body-relative solution carry for the 'warmstart' planner
+    # (traj_planner_node.py:512, 571, 580-587)
+    carry_wpts = jnp.where(plan_ok, traj.int_wpts - plan_init[0][:, None],
+                           state.carry_wpts)
+    carry_ts = jnp.where(plan_ok, traj.ts, state.carry_ts)
+    has_carry = state.has_carry | plan_ok
+
     state = state.replace(buffer=buffer, fail_count=fail_count,
                           near_goal=near_goal, plan_count=plan_count,
-                          iter_sum=iter_sum, key=key)
+                          iter_sum=iter_sum, key=key, carry_wpts=carry_wpts,
+                          carry_ts=carry_ts, has_carry=has_carry)
 
     # --- track
     drone, reached, steps, metrics, metric_pos = _track_segment(
@@ -301,7 +377,7 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
     else:
         state = state.replace(
             phase=jnp.where(done, missions.PHASE_DONE, state.phase))
-    return state
+    return state, info
 
 
 def weighted_metric(state: EnvState) -> jnp.ndarray:
@@ -312,9 +388,12 @@ def weighted_metric(state: EnvState) -> jnp.ndarray:
 def rollout(state: EnvState, num_segments: int, pp: PlannerParams,
             mp: MissionParams, sp: SimParams, mission_mode: str = "manual",
             sensing: str = "gt", mapp: Optional[MapParams] = None,
-            cam: Optional[CameraParams] = None) -> EnvState:
+            cam: Optional[CameraParams] = None, planner: str = "expert",
+            net_vars=None, np_cfg=None, plan_map: str = "grid") -> EnvState:
     """Run num_segments replan periods under lax.scan (jit once, step many)."""
     def body(s, _):
-        return step_segment(s, pp, mp, sp, mission_mode, sensing, mapp, cam), None
+        s2, _info = step_segment(s, pp, mp, sp, mission_mode, sensing, mapp,
+                                 cam, planner, net_vars, np_cfg, plan_map)
+        return s2, None
     out, _ = jax.lax.scan(body, state, None, length=num_segments)
     return out

@@ -27,7 +27,7 @@ def test_reach_goal_closed_loop(world):
     step = jax.jit(env.step_segment, static_argnames=("pp", "mp", "sp",
                                                       "mission_mode"))
     for _ in range(30):
-        state = step(state, PP, MP, SP, "manual")
+        state, _ = step(state, PP, MP, SP, "manual")
         if bool(state.reached):
             break
     assert bool(state.reached), (float(state.steps), bool(state.failed))
@@ -51,7 +51,7 @@ def test_rollout_scan_matches_python_loop(world):
             s0, 5, PP, MP, SP, "manual")
     s = s0
     for _ in range(5):
-        s = env.step_segment(s, PP, MP, SP, "manual")
+        s, _ = env.step_segment(s, PP, MP, SP, "manual")
     # jit fusion reassociates f32 arithmetic; tiny cost differences pick different
     # L-BFGS line-search branches, so trajectories agree only to cm level
     np.testing.assert_allclose(np.asarray(out_scan.drone.pos),
@@ -84,7 +84,7 @@ def test_tracking_error_bounded(world):
     errs = []
     for _ in range(8):
         des0 = np.asarray(state.buffer[0, 0])    # setpoint about to be tracked
-        state = step(state, PP, MP, SP, "manual")
+        state, _ = step(state, PP, MP, SP, "manual")
         desN = np.asarray(state.buffer[0, 0])
         errs.append(np.linalg.norm(np.asarray(state.drone.pos[:2]) - desN))
         if bool(state.reached):
@@ -100,7 +100,7 @@ def test_takeoff_phase(world):
     step = jax.jit(env.step_segment, static_argnames=("pp", "mp", "sp",
                                                       "mission_mode"))
     for _ in range(20):
-        state = step(state, PP, MP, SP, "manual")
+        state, _ = step(state, PP, MP, SP, "manual")
         if bool(state.reached):
             break
     assert float(state.drone.pos[2]) > MP.hover_height - 0.3
@@ -113,5 +113,5 @@ def test_random_mission_mode(world):
     step = jax.jit(env.step_segment, static_argnames=("pp", "mp", "sp",
                                                       "mission_mode"))
     for _ in range(40):
-        state = step(state, PP, MP, SP, "random")
+        state, _ = step(state, PP, MP, SP, "random")
     assert int(state.missions_done) >= 1

@@ -156,7 +156,7 @@ def test_vision_closed_loop():
     step = jax.jit(env.step_segment, static_argnames=(
         "pp", "mp", "sp", "mission_mode", "sensing", "mapp", "cam"))
     for _ in range(30):
-        state = step(state, pp, mp, sp, "manual", "depth", mapp, CAM)
+        state, _ = step(state, pp, mp, sp, "manual", "depth", mapp, CAM)
         if bool(state.reached):
             break
     assert bool(state.reached), (float(state.steps), bool(state.failed))
