@@ -1,0 +1,86 @@
+"""Benchmark sweep: planners x worlds x repeats, aggregated like the reference.
+
+The equivalent of the reference's bash/multi_run.sh (sequential Gazebo runs of
+{nn, basic, batch, neo} x worlds x repeats) + bash/analyze_data.py — except each
+(planner, world) cell runs its repeats as one vmapped batch, so a sweep that
+took hours of wall-clock in Gazebo is a few minutes of device time.
+
+  python examples/multi_run.py --planners expert warmstart --repeats 16
+"""
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--planners", nargs="+", default=["expert", "warmstart"],
+                    choices=["expert", "warmstart", "nn", "neo"])
+    ap.add_argument("--worlds", type=int, nargs="+", default=[0, 1, 2, 3],
+                    help="world seeds")
+    ap.add_argument("--repeats", type=int, default=16)
+    ap.add_argument("--segments", type=int, default=45)
+    ap.add_argument("--net", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None, help="planning_metrics.txt path")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from neoplanner_tpu.config import (CameraParams, MapParams, MissionParams,
+                                       PlannerParams, SimParams, WorldParams)
+    from neoplanner_tpu.sim import env
+    from neoplanner_tpu.utils import metrics
+    from neoplanner_tpu.world import scenegen
+
+    pp = PlannerParams(max_iters=64)
+    mp, sp = MissionParams(), SimParams()
+    mapp = MapParams()
+    cam = CameraParams(width=160, height=120)
+    wp = WorldParams()
+
+    net_vars, np_cfg = None, None
+    if any(p in ("nn", "neo") for p in args.planners):
+        from neoplanner_tpu.learn import train as train_mod
+        net_vars, np_cfg = train_mod.load_checkpoint(args.net)
+
+    records = []
+    B = args.repeats
+    for wseed in args.worlds:
+        world = scenegen.generate(jax.random.PRNGKey(1000 + wseed), wp)
+        for planner in args.planners:
+            keys = jax.random.split(jax.random.PRNGKey(wseed * 97 + 13), B)
+            goal = jnp.array([25.0, 0.0])
+            reset_b = jax.vmap(lambda k: env.reset(k, world, goal, pp, mp, mapp))
+            states = reset_b(keys)
+            roll = jax.jit(jax.vmap(lambda s: env.rollout(
+                s, args.segments, pp, mp, sp, "manual", "gt", None, cam,
+                planner, net_vars, np_cfg, "scene")))
+            t0 = time.time()
+            out = roll(states)
+            jax.block_until_ready(out.drone.pos)
+            wall = time.time() - t0
+            per_plan = wall / max(float(np.asarray(out.plan_count).sum()), 1)
+            recs = metrics.from_env_states(
+                out, world_name=f"rand_world_{wseed}", num_models=wp.num_boxes,
+                planner=planner, wall_time_per_plan=per_plan)
+            records.extend(recs)
+            ok = sum(r.reached for r in recs)
+            print(f"world {wseed} planner {planner}: {ok}/{B} success, "
+                  f"wall {wall:.1f}s", flush=True)
+
+    if args.out:
+        metrics.write_metrics_file(args.out, records)
+    print(json.dumps(metrics.analyze(records), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -150,7 +150,10 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
         steps=jnp.zeros((), jnp.int32), flap=flap,
         metric_pos=start_pos, metrics=jnp.zeros(3),
         carry_wpts=jnp.zeros((pp.dims, pp.num_wpts)),
-        carry_ts=jnp.full((pp.num_pieces,), pp.init_t),
+        # explicit dtype: a weak-typed full() here changes the jitted step's
+        # input signature between the reset-produced and step-produced states,
+        # costing one silent (and very expensive) recompile
+        carry_ts=jnp.full((pp.num_pieces,), pp.init_t, dtype=jnp.float32),
         has_carry=jnp.asarray(False),
         plan_count=jnp.zeros((), jnp.int32), iter_sum=jnp.zeros((), jnp.int32),
         missions_done=jnp.zeros((), jnp.int32), key=key)
