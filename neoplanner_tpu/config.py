@@ -208,6 +208,8 @@ class NetParams:
     img_feature_size: int = 24
     motion_feature_size: int = 24
     backbone: str = "resnet18"    # 'resnet18' (parity) or 'smallconv' (fast sim)
+    fusion_arch: str = "mlp"      # 'mlp' (nn_trainer.py) or 'conv1d'
+                                  # (nn_trainer_conv.py:123-145)
 
 
 def replace(cfg, **kwargs):

@@ -25,6 +25,23 @@ from neoplanner_tpu.config import NetParams
 from neoplanner_tpu.models.resnet import ResNet18, SmallConvEncoder
 
 
+class _Conv1dStack(nn.Module):
+    """Conv1d(1->16->32->64, k=3) + Flatten + Dense head — the motion/fusion
+    feature stack of the reference's conv variant (nn_trainer_conv.py:123-145)."""
+
+    out_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = x[..., None]                              # (B, L, 1) channel-last
+        for ch in (16, 32, 64):
+            y = nn.Conv(ch, kernel_size=(3,), padding=1, dtype=self.dtype)(y)
+            y = nn.leaky_relu(y)
+        y = y.reshape(y.shape[0], -1)
+        return nn.Dense(self.out_features, dtype=self.dtype)(y)
+
+
 class PlannerNet(nn.Module):
     np_cfg: NetParams = NetParams()
     dtype: Any = jnp.float32
@@ -39,21 +56,32 @@ class PlannerNet(nn.Module):
                 num_features=cfg.img_feature_size, dtype=self.dtype)
         else:
             raise ValueError(f"unknown backbone: {cfg.backbone}")
-        # motion MLP 24 -> 48 -> 24 -> 24 -> 24, LeakyReLU (nn_trainer.py:124-132)
-        self.motion_backbone = [nn.Dense(48, dtype=self.dtype),
-                                nn.Dense(24, dtype=self.dtype),
-                                nn.Dense(24, dtype=self.dtype),
-                                nn.Dense(cfg.motion_feature_size,
-                                         dtype=self.dtype)]
-        # fusion MLP 48 -> 48 -> 96 -> 96 -> 9 (nn_trainer.py:134-141)
-        self.mlp = [nn.Dense(48, dtype=self.dtype),
-                    nn.Dense(96, dtype=self.dtype),
-                    nn.Dense(96, dtype=self.dtype),
-                    nn.Dense(cfg.output_size, dtype=self.dtype)]
+        if cfg.fusion_arch == "conv1d":
+            # the reference's alternative trainer (nn_trainer_conv.py:123-145)
+            self.motion_backbone = _Conv1dStack(cfg.motion_feature_size,
+                                                dtype=self.dtype)
+            self.mlp = _Conv1dStack(cfg.output_size, dtype=self.dtype)
+        else:
+            # motion MLP 24 -> 48 -> 24 -> 24 -> 24, LeakyReLU
+            # (nn_trainer.py:124-132)
+            self.motion_backbone = [nn.Dense(48, dtype=self.dtype),
+                                    nn.Dense(24, dtype=self.dtype),
+                                    nn.Dense(24, dtype=self.dtype),
+                                    nn.Dense(cfg.motion_feature_size,
+                                             dtype=self.dtype)]
+            # fusion MLP 48 -> 48 -> 96 -> 96 -> 9 (nn_trainer.py:134-141)
+            self.mlp = [nn.Dense(48, dtype=self.dtype),
+                        nn.Dense(96, dtype=self.dtype),
+                        nn.Dense(96, dtype=self.dtype),
+                        nn.Dense(cfg.output_size, dtype=self.dtype)]
 
     def __call__(self, img, motion, train: bool = False):
         """img: (B, H, W, 1) float in [0, 255]; motion: (B, 24). -> (B, 9)."""
         img_feature = self.img_backbone(img, train=train)
+        if self.np_cfg.fusion_arch == "conv1d":
+            motion_feature = self.motion_backbone(motion)
+            fused = jnp.concatenate([img_feature, motion_feature], axis=-1)
+            return self.mlp(fused)
         x = motion
         for i, layer in enumerate(self.motion_backbone):
             x = layer(x)

@@ -115,13 +115,15 @@ def minimize(fun: Callable, x0: jnp.ndarray, *, max_iters: int = 256,
                            jnp.linalg.norm(st.g, ord=1), 1e-12)),
                        1.0)
 
-        # PARALLEL backtracking line search: evaluate the whole halving schedule
-        # t0·2^-k in one widened batch and take the first Armijo-acceptable step.
-        # Identical result to sequential backtracking, but a batched while_loop
-        # would run every vmapped lane to the slowest lane's step count; this is
-        # one fused evaluation regardless of batch shape.
+        # Data-parallel backtracking line search: evaluate the whole halving
+        # schedule t0·2^-k and take the first Armijo-acceptable step. Identical
+        # result to sequential backtracking, but a batched while_loop would run
+        # every vmapped lane to the slowest lane's step count. lax.map (not
+        # vmap) keeps the candidate axis sequential so the temporary stays one
+        # evaluation wide — a widened vmap materializes (batch × candidates ×
+        # samples × primitives) tensors that OOM at 4096 envs.
         steps = t0 * (0.5 ** jnp.arange(max_ls))
-        f_cand = jax.vmap(lambda t: fun(st.x + t * d))(steps)
+        f_cand = jax.lax.map(lambda t: fun(st.x + t * d), steps)
         armijo = f_cand <= st.f + c1 * steps * gtd
         first_ok = jnp.argmax(armijo)          # first True (0 if none)
         ls_ok = jnp.any(armijo)

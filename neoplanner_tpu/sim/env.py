@@ -75,6 +75,7 @@ class EnvState:
     plan_count: jnp.ndarray  # int32 optimizations run
     iter_sum: jnp.ndarray    # int32 total L-BFGS iterations
     missions_done: jnp.ndarray  # int32 completed missions (random mode)
+    missions_ok: jnp.ndarray    # int32 of those, reached the goal
     key: jnp.ndarray
 
 
@@ -156,7 +157,8 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
         carry_ts=jnp.full((pp.num_pieces,), pp.init_t, dtype=jnp.float32),
         has_carry=jnp.asarray(False),
         plan_count=jnp.zeros((), jnp.int32), iter_sum=jnp.zeros((), jnp.int32),
-        missions_done=jnp.zeros((), jnp.int32), key=key)
+        missions_done=jnp.zeros((), jnp.int32),
+        missions_ok=jnp.zeros((), jnp.int32), key=key)
 
 
 def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
@@ -376,6 +378,7 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
             fail_count=jnp.where(done, 0, state.fail_count),
             steps=jnp.where(done, 0, state.steps),
             missions_done=state.missions_done + done.astype(jnp.int32),
+            missions_ok=state.missions_ok + (done & reached).astype(jnp.int32),
             key=key)
     else:
         state = state.replace(
