@@ -39,7 +39,7 @@ CSV_HEADER = (
 
 def record_rollout(state: env.EnvState, num_segments: int, pp: PlannerParams,
                    mp: MissionParams, sp: SimParams, cam: CameraParams,
-                   des_pos_z: float):
+                   des_pos_z: float, plan_map: str = "scene"):
     """Roll one env for num_segments, emitting a sample per segment.
 
     Returns (final_state, depths (S, h, w), motions (S, 24), labels (S, 9),
@@ -50,7 +50,8 @@ def record_rollout(state: env.EnvState, num_segments: int, pp: PlannerParams,
     """
     def body(s, _):
         depth = raycast.render_depth(s.world, s.drone.pos, s.drone.quat, cam)
-        s2, info = env.step_segment(s, pp, mp, sp, mission_mode="random")
+        s2, info = env.step_segment(s, pp, mp, sp, mission_mode="random",
+                                    plan_map=plan_map)
         motion = data.motion_vector(info.drone, des_pos_z, info.plan_init,
                                     info.target)
         label = data.make_label(info.drone, des_pos_z, info.int_wpts, info.ts)

@@ -92,6 +92,9 @@ class SegmentInfo:
     plan_init: jnp.ndarray  # (2, 2) pos/vel the plan started from
     target: jnp.ndarray     # (2, 2) local target state
     iters: jnp.ndarray      # L-BFGS iterations spent
+    trace: jnp.ndarray      # (spr, 5, 3) per-substep [pos, vel, des_pos,
+                            # des_vel, des_acc] — the tracking-error log
+                            # (save_tracking_err, traj_planner_node.py:310-331)
 
 
 def n_traj_samples(pp: PlannerParams, mp: MissionParams) -> int:
@@ -258,13 +261,14 @@ def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
         metric_pos = jnp.where(tick, pos2, metric_pos)
 
         steps = steps + jnp.where(active_phase & ~reached, 1, 0)
-        return (drone, reached, steps, metrics, metric_pos, i + 1), None
+        trace_row = jnp.stack([drone.pos, drone.vel, pos_des, vel_des, acc_des])
+        return (drone, reached, steps, metrics, metric_pos, i + 1), trace_row
 
     init = (state.drone, state.reached, state.steps, state.metrics,
             state.metric_pos, jnp.zeros((), jnp.int32))
-    (drone, reached, steps, metrics, metric_pos, _), _ = jax.lax.scan(
+    (drone, reached, steps, metrics, metric_pos, _), trace = jax.lax.scan(
         substep, init, track_cmds)
-    return drone, reached, steps, metrics, metric_pos
+    return drone, reached, steps, metrics, metric_pos, trace
 
 
 def sense_and_map(state: EnvState, mapp: MapParams, cam: CameraParams
@@ -319,9 +323,6 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
     traj, new_cmd, near, key, plan_init, target_state = _replan(
         state, pp, mp, planner, net_vars, np_cfg, cam, plan_map)
     plan_ok = traj.ok & do_replan
-    info = SegmentInfo(planned=do_replan, ok=plan_ok, int_wpts=traj.int_wpts,
-                       ts=traj.ts, drone=state.drone, plan_init=plan_init,
-                       target=target_state, iters=traj.iters)
 
     # --- des-state buffer: this segment tracks rows [0, spr); the next buffer is
     # either the freshly planned trajectory (spliced at exactly the state we
@@ -353,8 +354,11 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
                           carry_ts=carry_ts, has_carry=has_carry)
 
     # --- track
-    drone, reached, steps, metrics, metric_pos = _track_segment(
+    drone, reached, steps, metrics, metric_pos, trace = _track_segment(
         state, track_cmds, pp, mp, sp)
+    info = SegmentInfo(planned=do_replan, ok=plan_ok, int_wpts=traj.int_wpts,
+                       ts=traj.ts, drone=state.drone, plan_init=plan_init,
+                       target=target_state, iters=traj.iters, trace=trace)
 
     # --- mission termination: goal reached, too many consecutive replan
     # failures (traj_planner_node.py:441-445), or the 45 s cap (:253-255)

@@ -69,6 +69,25 @@ def set_local_target(emap: ESDFMap, pos2d: jnp.ndarray, goal2d: jnp.ndarray,
     return jnp.stack([target_pos, target_vel]), near
 
 
+FSM_DOT = """digraph mission_fsm {
+  rankdir=LR;
+  INIT -> TAKINGOFF [label="launch"];
+  TAKINGOFF -> HOVER [label="reach_height"];
+  HOVER -> MISSION [label="set_goal"];
+  MISSION -> MISSION [label="set_goal"];
+  MISSION -> HOVER [label="reach_goal"];
+}
+"""
+
+
+def save_fsm_graph(path: str) -> str:
+    """Write the mission FSM as Graphviz DOT (the manager's draw_fsm_graph PDF
+    export, manager_node.py:315-316, without the graphviz binary dependency)."""
+    with open(path, "w") as f:
+        f.write(FSM_DOT)
+    return path
+
+
 def sample_random_goal(key: jnp.ndarray, flap: jnp.ndarray):
     """The data-collection goal sampler (manager_node.py:179-193): x flips between
     -1 and 26 each mission, y ~ 4·(U[0,1) - 0.6). Returns (goal2d, next_flap)."""

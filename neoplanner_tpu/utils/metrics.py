@@ -98,6 +98,25 @@ def read_metrics_file(path: str) -> List[MissionRecord]:
     return records
 
 
+def save_tracking_csv(path: str, traces: np.ndarray, cmd_hz: int = 60) -> str:
+    """Write the reference's tracking-error CSV (save_tracking_err,
+    traj_planner_node.py:310-331: time, drone pos/vel xy, desired pos/vel xy).
+
+    traces: (steps, 5, 3) stacked SegmentInfo.trace rows
+    ([pos, vel, des_pos, des_vel, des_acc] per substep).
+    """
+    tr = np.asarray(traces).reshape(-1, 5, 3)
+    with open(path, "w") as f:
+        f.write("time,global_pos_x,global_pos_y,global_vel_x,global_vel_y,"
+                "des_global_pos_x,des_global_pos_y,des_global_vel_x,"
+                "des_global_vel_y\n")
+        for i, row in enumerate(tr):
+            f.write(f"{i / cmd_hz:.4f},{row[0, 0]:.5f},{row[0, 1]:.5f},"
+                    f"{row[1, 0]:.5f},{row[1, 1]:.5f},{row[2, 0]:.5f},"
+                    f"{row[2, 1]:.5f},{row[3, 0]:.5f},{row[3, 1]:.5f}\n")
+    return path
+
+
 def analyze(records: List[MissionRecord]) -> Dict[str, Dict[str, dict]]:
     """Per planner × world aggregation (analyze_data.py:11-46 semantics:
     success rate over all runs; other averages over successful runs)."""
