@@ -63,6 +63,10 @@ def edt_sq_cells(occupancy: jnp.ndarray) -> jnp.ndarray:
     """Exact squared EDT in cell units. occupancy: (H, W), nonzero = occupied."""
     occ = occupancy > 0.5
     g2 = _row_distance_sq(occ)
+    H = occupancy.shape[0]
+    if jax.default_backend() == "tpu" and H % 8 == 0:
+        from neoplanner_tpu.ops import edt_pallas
+        return edt_pallas.pass2(g2)
     return _pass2(g2)
 
 

@@ -1,0 +1,73 @@
+"""Pallas TPU kernel for the EDT min-plus contraction (pass 2 of ops/edt.py).
+
+The row pass of the exact EDT is out[i, j] = min_k ((i-k)² + g2[k, j]) — an
+O(H²W) min-plus contraction that XLA executes as blocked broadcasts with large
+HBM temporaries. This kernel keeps one (H, W) map slab plus a (BLOCK_I, W)
+output tile in VMEM and accumulates the min over k in registers: one HBM read
+of g2 per output tile row-block, no temporaries.
+
+Grid: (batch, H / BLOCK_I). Under jax.vmap the batch axis is the leading grid
+dimension, so vmapped callers (one map per env) run one program per
+(env, row-block) — each program still processes a full (BLOCK_I, W) VPU tile.
+
+Used by mapping/esdf.build on TPU; the pure-XLA path (ops/edt.py) remains the
+portable/interpret fallback and the golden reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_I = 8
+
+
+_KB = 8  # contraction rows processed per inner step
+
+
+def _pass2_kernel(g2_ref, out_ref):
+    """g2_ref: (H, W) squared row distances; out_ref: (BLOCK_I, W) tile."""
+    ib = pl.program_id(0)
+    H = g2_ref.shape[0]
+    W = g2_ref.shape[1]
+
+    i0 = ib * BLOCK_I
+    # iota must be integer-typed on TPU; cast after
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (BLOCK_I, 1, 1), 0)
+            + i0).astype(jnp.float32)                      # (BLOCK_I, 1, 1)
+    kof = jax.lax.broadcasted_iota(jnp.int32, (1, _KB, 1), 1).astype(
+        jnp.float32)                                       # (1, KB, 1)
+
+    def body(kb, acc):
+        k0 = (kb * _KB).astype(jnp.float32)
+        dk = rows - (k0 + kof)                             # (BLOCK_I, KB, 1)
+        g = g2_ref[pl.ds(kb * _KB, _KB), :]                # (KB, W)
+        cand = dk * dk + g[None, :, :]                     # (BLOCK_I, KB, W)
+        return jnp.minimum(acc, jnp.min(cand, axis=1))
+
+    acc0 = jnp.full((BLOCK_I, W), 1e9, dtype=jnp.float32)
+    out_ref[:, :] = jax.lax.fori_loop(0, H // _KB, body, acc0)
+
+
+def pass2(g2: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """min-plus contraction over rows: (H, W) -> (H, W). H must be a multiple
+    of BLOCK_I (mapping grids are; ops/edt.py pads otherwise)."""
+    H, W = g2.shape
+    assert H % BLOCK_I == 0, H
+    return pl.pallas_call(
+        _pass2_kernel,
+        interpret=interpret,
+        grid=(H // BLOCK_I,),
+        in_specs=[pl.BlockSpec((H, W), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BLOCK_I, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=3 * H * H * W,
+                                      bytes_accessed=2 * H * W * 4,
+                                      transcendentals=0),
+    )(g2.astype(jnp.float32))

@@ -21,8 +21,16 @@ import jax.numpy as jnp
 from neoplanner_tpu.core.types import SHAPE_BOX, SHAPE_CYLINDER, BoxWorld
 
 
+# mesh obstacles (forest.world's pine trees) are approximated by a vertical
+# cylinder of this radius — the trunk+canopy footprint that matters for the
+# 2-D occupancy slice at flight height
+_MESH_RADIUS = 0.4
+_MESH_HALF_HEIGHT = 5.0
+
+
 def _find_geometry(model: ET.Element):
-    """Return (shape, half_sizes) from a model's first box or cylinder geometry."""
+    """Return (shape, half_sizes) from a model's first box/cylinder/mesh
+    geometry. Meshes become footprint cylinders (see _MESH_RADIUS)."""
     size_el = model.find(".//box/size")
     if size_el is not None and size_el.text is not None:
         vals = [float(v) for v in size_el.text.split()]
@@ -32,6 +40,9 @@ def _find_geometry(model: ET.Element):
         radius = float(cyl.findtext("radius", default="0.5"))
         length = float(cyl.findtext("length", default="1.0"))
         return SHAPE_CYLINDER, np.array([radius, radius, length / 2])
+    if model.find(".//mesh") is not None:
+        return SHAPE_CYLINDER, np.array([_MESH_RADIUS, _MESH_RADIUS,
+                                         _MESH_HALF_HEIGHT])
     return None, None
 
 
