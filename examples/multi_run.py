@@ -18,8 +18,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--planners", nargs="+", default=["expert", "warmstart"],
                     choices=["expert", "warmstart", "nn", "neo"])
-    ap.add_argument("--worlds", type=int, nargs="+", default=[0, 1, 2, 3],
-                    help="world seeds")
+    ap.add_argument("--worlds", nargs="+", default=["0", "1", "2", "3"],
+                    help="integer seeds for random worlds and/or .world paths "
+                         "(the reference's poles/bricks/rand_world_N load "
+                         "directly)")
     ap.add_argument("--repeats", type=int, default=16)
     ap.add_argument("--segments", type=int, default=45)
     ap.add_argument("--net", default=None)
@@ -52,12 +54,20 @@ def main():
         from neoplanner_tpu.learn import train as train_mod
         net_vars, np_cfg = train_mod.load_checkpoint(args.net)
 
+    from neoplanner_tpu.world import worldio
+
     records = []
     B = args.repeats
-    for wseed in args.worlds:
-        world = scenegen.generate(jax.random.PRNGKey(1000 + wseed), wp)
+    for wi, wname in enumerate(args.worlds):
+        if str(wname).isdigit():
+            wseed = int(wname)
+            world = scenegen.generate(jax.random.PRNGKey(1000 + wseed), wp)
+            world_label = f"rand_world_{wseed}"
+        else:
+            world = worldio.parse_world(str(wname), max_boxes=wp.max_boxes)
+            world_label = os.path.splitext(os.path.basename(str(wname)))[0]
         for planner in args.planners:
-            keys = jax.random.split(jax.random.PRNGKey(wseed * 97 + 13), B)
+            keys = jax.random.split(jax.random.PRNGKey(wi * 97 + 13), B)
             goal = jnp.array([25.0, 0.0])
             reset_b = jax.vmap(lambda k: env.reset(k, world, goal, pp, mp, mapp))
             states = reset_b(keys)
@@ -70,11 +80,11 @@ def main():
             wall = time.time() - t0
             per_plan = wall / max(float(np.asarray(out.plan_count).sum()), 1)
             recs = metrics.from_env_states(
-                out, world_name=f"rand_world_{wseed}", num_models=wp.num_boxes,
+                out, world_name=world_label, num_models=wp.num_boxes,
                 planner=planner, wall_time_per_plan=per_plan)
             records.extend(recs)
             ok = sum(r.reached for r in recs)
-            print(f"world {wseed} planner {planner}: {ok}/{B} success, "
+            print(f"world {world_label} planner {planner}: {ok}/{B} success, "
                   f"wall {wall:.1f}s", flush=True)
 
     if args.out:
