@@ -66,9 +66,26 @@ def main():
         else:
             world = worldio.parse_world(str(wname), max_boxes=wp.max_boxes)
             world_label = os.path.splitext(os.path.basename(str(wname)))[0]
+        # nudge the goal to the nearest clear spot: with a fixed benchmark goal
+        # some worlds place an obstacle on it, which fails every repeat for
+        # every planner (goal-in-collision is correctly unplannable)
+        from neoplanner_tpu.mapping import scene as scene_mod
+        sc = scene_mod.build(world, mapp)
+        base_goal = np.array([25.0, 0.0])
+        goal = None
+        for r in np.arange(0.0, 4.1, 0.5):
+            for ang in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+                cand = base_goal + r * np.array([np.cos(ang), np.sin(ang)])
+                d, _ = scene_mod.sample(sc, jnp.array(cand, dtype=jnp.float32))
+                if float(d) > pp.safe_dis + 0.3:
+                    goal = jnp.array(cand, dtype=jnp.float32)
+                    break
+            if goal is not None:
+                break
+        assert goal is not None, f"no clear goal near {base_goal}"
+
         for planner in args.planners:
             keys = jax.random.split(jax.random.PRNGKey(wi * 97 + 13), B)
-            goal = jnp.array([25.0, 0.0])
             reset_b = jax.vmap(lambda k: env.reset(k, world, goal, pp, mp, mapp))
             states = reset_b(keys)
             roll = jax.jit(jax.vmap(lambda s: env.rollout(

@@ -70,7 +70,10 @@ def from_env_states(states, world_name: str, num_models: int, planner: str,
 def write_metrics_file(path: str, records: List[MissionRecord]) -> None:
     """Append reference-format planning_metrics.txt lines
     (traj_planner_node.py:292-308)."""
+    import os
+
     stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "a") as f:
         for r in records:
             f.write(" ".join([
