@@ -22,7 +22,7 @@ GOAL = jnp.array([10.0, 0.0])
 
 STEP = jax.jit(env.step_segment, static_argnames=(
     "pp", "mp", "sp", "mission_mode", "sensing", "mapp", "cam", "planner",
-    "np_cfg"))
+    "np_cfg", "plan_map"))
 
 
 @pytest.fixture(scope="module")
@@ -75,6 +75,21 @@ def test_nn_mode_runs(world, net):
     state = _fly(world, "nn", net, max_segments=50)
     assert bool(state.reached) or bool(state.failed)
     assert np.all(np.isfinite(np.asarray(state.drone.pos)))
+
+
+def test_neo_vision_mode(world, net):
+    """The complete paper pipeline: depth sensing builds the map online AND
+    feeds the initializer network; refinement runs on the sensed grid."""
+    state = env.reset(jax.random.PRNGKey(0), world, GOAL, PP, MP, MAPP,
+                      sensing="depth")
+    for _ in range(35):
+        state, _ = STEP(state, PP, MP, SP, "manual", "depth", MAPP, CAM,
+                        "neo", net, NETP, "grid")
+        if bool(state.reached) or bool(state.failed):
+            break
+    assert bool(state.reached), (bool(state.failed), float(state.steps))
+    assert float(state.metrics[2]) < 1e-3  # collision-free on the real world
+    assert float(jnp.sum(state.emap.occupancy)) > 0  # flew on a sensed map
 
 
 def test_neo_cheaper_iters_than_expert_when_trained(world, net):
