@@ -14,6 +14,7 @@ optical frame (tf_server.launch:12-17's -90° optical rotation), returns z-depth
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import CameraParams
@@ -80,23 +81,46 @@ def _ray_cylinder(o, d, centers, half):
     return jnp.minimum(side, jnp.minimum(*t_caps))
 
 
+# pixel-row chunk target: keep the per-chunk (rows, W, K) slab-test temporary
+# around this many elements (a full 640x480x24 image materializes 7 GB per
+# 256-env batch otherwise)
+_CHUNK_ELEMS = 1_500_000
+
+
+def _trace_rays(world: BoxWorld, pos: jnp.ndarray, dirs: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Nearest-hit distance for rays (..., 3) against the scene + ground."""
+    t_box = _ray_box(pos, dirs, world.centers, world.half_sizes)
+    t_cyl = _ray_cylinder(pos, dirs, world.centers, world.half_sizes)
+    t_prim = jnp.where(world.shape == SHAPE_CYLINDER, t_cyl, t_box)
+    t_prim = jnp.where(world.active, t_prim, _INF)
+    t = jnp.min(t_prim, axis=-1)
+
+    dz = dirs[..., 2]
+    t_ground = jnp.where(dz < -1e-6, -pos[2] / jnp.where(dz < -1e-6, dz, -1.0),
+                         _INF)
+    return jnp.minimum(t, t_ground)
+
+
 def render_depth(world: BoxWorld, pos: jnp.ndarray, quat: jnp.ndarray,
                  cam: CameraParams) -> jnp.ndarray:
     """(H, W) z-depth image from a camera at `pos` with body attitude `quat`."""
     dirs_body = ray_dirs_camera(cam)                       # (H, W, 3)
     dirs = frames.quat_rotate(quat[None, None, :], dirs_body)
 
-    t_box = _ray_box(pos, dirs, world.centers, world.half_sizes)
-    t_cyl = _ray_cylinder(pos, dirs, world.centers, world.half_sizes)
-    t_prim = jnp.where(world.shape == SHAPE_CYLINDER, t_cyl, t_box)
-    t_prim = jnp.where(world.active, t_prim, _INF)
-    t = jnp.min(t_prim, axis=-1)                           # (H, W)
-
-    # ground plane z=0
-    dz = dirs[..., 2]
-    t_ground = jnp.where(dz < -1e-6, -pos[2] / jnp.where(dz < -1e-6, dz, -1.0),
-                         _INF)
-    t = jnp.minimum(t, t_ground)
+    K = world.centers.shape[0]
+    rows_per_chunk = max(1, _CHUNK_ELEMS // (cam.width * K))
+    if rows_per_chunk >= cam.height:
+        t = _trace_rays(world, pos, dirs)
+    else:
+        # pad H to a multiple of the chunk and lax.map over row blocks so the
+        # (rows, W, K) temporary stays bounded regardless of image size
+        n_chunks = -(-cam.height // rows_per_chunk)
+        pad = n_chunks * rows_per_chunk - cam.height
+        dirs_p = jnp.pad(dirs, ((0, pad), (0, 0), (0, 0)))
+        chunks = dirs_p.reshape(n_chunks, rows_per_chunk, cam.width, 3)
+        t = jax.lax.map(lambda d: _trace_rays(world, pos, d), chunks)
+        t = t.reshape(n_chunks * rows_per_chunk, cam.width)[: cam.height]
 
     # z-depth = range along the body-x (optical-z) axis, Gazebo-style
     x_body = frames.quat_rotate(quat, jnp.array([1.0, 0.0, 0.0]))
