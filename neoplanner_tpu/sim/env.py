@@ -371,6 +371,12 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
 
     done = reached | failed
     if mission_mode == "random":
+        # a mission only counts as ok if it reached the goal AND its closed-loop
+        # weighted metric stayed under the failure bar
+        # (traj_planner_node.py:359-362); metrics reset per mission here so the
+        # bar applies mission-by-mission
+        wm = jnp.dot(metrics, jnp.array(METRIC_WEIGHTS))
+        mission_ok = reached & (wm <= 10.0 * pp.collision_cost_tol)
         key, k_goal = jax.random.split(state.key)
         new_goal, new_flap = missions.sample_random_goal(k_goal, state.flap)
         state = state.replace(
@@ -381,8 +387,10 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
             near_goal=jnp.where(done, False, state.near_goal),
             fail_count=jnp.where(done, 0, state.fail_count),
             steps=jnp.where(done, 0, state.steps),
+            metrics=jnp.where(done, 0.0, state.metrics),
             missions_done=state.missions_done + done.astype(jnp.int32),
-            missions_ok=state.missions_ok + (done & reached).astype(jnp.int32),
+            missions_ok=state.missions_ok + (done & mission_ok).astype(
+                jnp.int32),
             key=key)
     else:
         state = state.replace(
