@@ -174,6 +174,8 @@ def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
       'expert'    — multi-start + retry bank (covers 'basic'/'batch' modes)
       'warmstart' — re-seed from the previous solution carried in body-relative
                     coordinates (get_int_wpts_local, :580-587, 597-614)
+      'geo'       — wavefront cost-to-go init + refine (the GeoPlanner baseline,
+                    geo_planner.py:19-35, as the batched device variant)
       'nn'        — network prediction used as-is (no refinement, no rejection)
       'neo'       — network prediction + expert refinement (the paper's planner)
     """
@@ -199,6 +201,11 @@ def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
         cold = expert.plan(pmap, head, tail, k_p, pp)
         traj = jax.tree_util.tree_map(
             lambda w, c: jnp.where(state.has_carry, w, c), warm, cold)
+    elif planner == "geo":
+        from neoplanner_tpu.plan import geo
+        # the wavefront needs the rasterized grid regardless of plan_map (the
+        # cost-to-go field relaxes over cells)
+        traj = geo.geo_plan_device(state.emap, head, tail, k_p, pp)
     elif planner in ("nn", "neo"):
         assert net_vars is not None and np_cfg is not None and cam is not None
         depth = raycast.render_depth(state.world, state.drone.pos,

@@ -53,6 +53,12 @@ def _fly(world, planner, net_vars=None, max_segments=30):
     return state
 
 
+def test_geo_mode(world):
+    state = _fly(world, "geo")
+    assert bool(state.reached)
+    assert float(state.metrics[2]) < 1e-3
+
+
 def test_warmstart_mode(world):
     state = _fly(world, "warmstart")
     assert bool(state.reached)
