@@ -19,7 +19,7 @@ def main():
     ap.add_argument("--goal", type=float, nargs=2, default=[25.0, 0.0])
     ap.add_argument("--start", type=float, nargs=2, default=[0.0, 0.0])
     ap.add_argument("--planner", default="expert",
-                    choices=["expert", "warmstart", "nn", "neo"])
+                    choices=["expert", "warmstart", "geo", "nn", "neo"])
     ap.add_argument("--sensing", default="gt", choices=["gt", "depth"])
     ap.add_argument("--plan-map", default="scene", choices=["scene", "grid"])
     ap.add_argument("--world", default=None,
