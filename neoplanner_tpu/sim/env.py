@@ -40,6 +40,7 @@ from neoplanner_tpu.config import (CameraParams, MapParams, MissionParams,
 from neoplanner_tpu.core.types import BoxWorld, DroneState, ESDFMap
 from neoplanner_tpu.mapping import esdf as esdf_map
 from neoplanner_tpu.mapping import occupancy
+from neoplanner_tpu.mapping import query
 from neoplanner_tpu.mapping import scene as scene_map
 from neoplanner_tpu.ops import minco
 from neoplanner_tpu.plan import expert
@@ -113,7 +114,8 @@ def _hold_buffer(pos2d: jnp.ndarray, n: int) -> jnp.ndarray:
 def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
           pp: PlannerParams, mp: MissionParams, mapp: MapParams,
           start_pos: Optional[jnp.ndarray] = None,
-          skip_takeoff: bool = True, sensing: str = "gt") -> EnvState:
+          skip_takeoff: bool = True, sensing: str = "gt",
+          plan_map: str = "grid") -> EnvState:
     """Build the map from the box world and initialize one env.
 
     goal=None selects 'random' goal sampling at reset (datagen mode); a concrete
@@ -122,13 +124,29 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
     sensing='gt' bakes the ground-truth map at reset (the reference's global-map
     mode, sim_global.launch + publish_pointcloud.cpp); 'depth' starts the map
     unknown and builds it online from rendered depth (the onboard mode).
+
+    plan_map='scene' with sensing='gt' is the simulation fast path: every
+    distance query (planning costs, metric, local-target escape) hits the
+    analytic scene SDF, so the per-env (H, W) ESDF/log-odds grids are replaced
+    by 1x1 dummies — ~1 MB/env of HBM that capped batch scaling in round 1.
+    Pass the same plan_map to step_segment.
     """
-    if sensing == "gt":
-        occ = voxelize.occupancy_2d(world, mapp)
+    lite = (sensing == "gt" and plan_map == "scene")
+    origin = jnp.array([mapp.origin_x, mapp.origin_y])
+    if lite:
+        # placeholder grids: never queried (all query paths dispatch to the
+        # scene); any stray lookup reads "free" (FAR), matching an empty map
+        emap = ESDFMap(occupancy=jnp.zeros((1, 1)),
+                       esdf=jnp.full((1, 1), esdf_map.FAR),
+                       grad_x=jnp.zeros((1, 1)), grad_y=jnp.zeros((1, 1)),
+                       origin=origin,
+                       resolution=jnp.asarray(mapp.resolution, jnp.float32))
     else:
-        occ = jnp.zeros((mapp.height, mapp.width))
-    emap = esdf_map.build(occ, jnp.array([mapp.origin_x, mapp.origin_y]),
-                          mapp.resolution)
+        if sensing == "gt":
+            occ = voxelize.occupancy_2d(world, mapp)
+        else:
+            occ = jnp.zeros((mapp.height, mapp.width))
+        emap = esdf_map.build(occ, origin, mapp.resolution)
 
     key, k_goal = jax.random.split(key)
     flap = jnp.zeros((), jnp.int32)
@@ -146,7 +164,9 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
 
     return EnvState(
         drone=drone, emap=emap, scene=scene_map.build(world, mapp), world=world,
-        logodds=occupancy.logodds_init(mapp),
+        # log-odds fusion state only exists in onboard sensing mode
+        logodds=(jnp.zeros((1, 1)) if sensing == "gt"
+                 else occupancy.logodds_init(mapp)),
         buffer=_hold_buffer(start_pos, n_buffer(pp, mp)),
         goal=goal, phase=phase,
         near_goal=jnp.asarray(False), reached=jnp.asarray(False),
@@ -166,7 +186,8 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
 
 def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
             planner: str = "expert", net_vars=None, np_cfg=None,
-            cam: Optional[CameraParams] = None, plan_map: str = "grid"):
+            cam: Optional[CameraParams] = None, plan_map: str = "grid",
+            replan_mode: str = "periodic"):
     """Plan from the state one replan period ahead (buffer row steps_per_replan).
 
     ``planner`` is the reference's selected_planner dispatch
@@ -178,19 +199,28 @@ def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
                     geo_planner.py:19-35, as the batched device variant)
       'nn'        — network prediction used as-is (no refinement, no rejection)
       'neo'       — network prediction + expert refinement (the paper's planner)
+
+    ``replan_mode='global'`` plans directly to the global goal with zero target
+    velocity and no local-target selection (global_planning,
+    traj_planner_node.py:365-374); the returned ``near=True`` then stops all
+    further replanning. The other modes use the receding-horizon local target.
     """
     spr = mp.steps_per_replan
     ahead = state.buffer[spr]                       # (3, 2): pos, vel, acc
     head = expert.pad_boundary_state(ahead[:2], pp)
 
-    key, k_t, k_p = jax.random.split(state.key, 3)
-    target_state, near = missions.set_local_target(
-        state.emap, ahead[0], state.goal, k_t, state.fail_count, mp, pp)
-    tail = expert.pad_boundary_state(target_state, pp)
-
     # planning-time collision backend: sensed grid (parity/vision) or analytic
     # scene SDF (simulation fast path, mapping/scene.py)
     pmap = state.scene if plan_map == "scene" else state.emap
+
+    key, k_t, k_p = jax.random.split(state.key, 3)
+    if replan_mode == "global":
+        target_state = jnp.stack([state.goal, jnp.zeros(2)])
+        near = jnp.asarray(True)
+    else:
+        target_state, near = missions.set_local_target(
+            pmap, ahead[0], state.goal, k_t, state.fail_count, mp, pp)
+    tail = expert.pad_boundary_state(target_state, pp)
 
     if planner == "expert":
         traj = expert.plan(pmap, head, tail, k_p, pp)
@@ -205,6 +235,9 @@ def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
         from neoplanner_tpu.plan import geo
         # the wavefront needs the rasterized grid regardless of plan_map (the
         # cost-to-go field relaxes over cells)
+        if state.emap.esdf.shape[0] == 1:
+            raise ValueError("geo planner needs the rasterized grid; reset "
+                             "with plan_map='grid' (scene-lite state has none)")
         traj = geo.geo_plan_device(state.emap, head, tail, k_p, pp)
     elif planner in ("nn", "neo"):
         assert net_vars is not None and np_cfg is not None and cam is not None
@@ -229,8 +262,12 @@ def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
 
 
 def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
-                   pp: PlannerParams, mp: MissionParams, sp: SimParams):
-    """Scan cmd_hz·replan_period control/physics substeps over the setpoints."""
+                   pp: PlannerParams, mp: MissionParams, sp: SimParams,
+                   plan_map: str = "grid", i0: int = 0):
+    """Scan control/physics substeps over the setpoints. ``i0`` offsets the
+    10 Hz metric tick counter so chunked tracking (sensor-rate fusion) keeps
+    the exact metric cadence of one unchunked segment."""
+    metric_map = state.scene if plan_map == "scene" else state.emap
     active_phase = (state.phase == missions.PHASE_MISSION)
     # takeoff climbs toward des_pos_z on held-position setpoints
     # (manager_node.py:300-313); hover/done hold without mission bookkeeping
@@ -259,8 +296,10 @@ def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
         tick = (i % METRIC_EVERY == 0) & active_phase & ~reached
         d_dist = jnp.linalg.norm(pos2 - metric_pos)
         violate_vel = jnp.sum(drone.vel[:2] ** 2) - pp.v_max ** 2
-        dis, _ = esdf_map.sample_nearest(state.emap, pos2)
-        violate_dis = pp.safe_dis - dis
+        dis, _ = query.distance(metric_map, pos2)
+        # clamp at 0 so the scene backend (signed inside obstacles) scores the
+        # same as the reference's unsigned grid EDT (esdf.py:29)
+        violate_dis = pp.safe_dis - jnp.maximum(dis, 0.0)
         delta = jnp.stack([d_dist,
                            jnp.maximum(violate_vel, 0.0) ** 3,
                            jnp.maximum(violate_dis, 0.0) ** 3])
@@ -272,10 +311,31 @@ def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
         return (drone, reached, steps, metrics, metric_pos, i + 1), trace_row
 
     init = (state.drone, state.reached, state.steps, state.metrics,
-            state.metric_pos, jnp.zeros((), jnp.int32))
+            state.metric_pos, jnp.asarray(i0, jnp.int32))
     (drone, reached, steps, metrics, metric_pos, _), trace = jax.lax.scan(
         substep, init, track_cmds)
     return drone, reached, steps, metrics, metric_pos, trace
+
+
+def fuse_frame(state: EnvState, mapp: MapParams, cam: CameraParams
+               ) -> EnvState:
+    """Render a depth frame from the current pose and fuse it into the
+    log-odds grid (octomap_server's per-message insertion) — no ESDF rebuild.
+    Sensor-rate fusion interleaves this with tracking substeps."""
+    depth = raycast.render_depth(state.world, state.drone.pos, state.drone.quat,
+                                 cam)
+    logodds = occupancy.insert_depth(state.logodds, depth, state.drone.pos,
+                                     state.drone.quat, cam, mapp)
+    return state.replace(logodds=logodds)
+
+
+def rebuild_esdf(state: EnvState, mapp: MapParams) -> EnvState:
+    """Binarize the fused log-odds and rebuild the (optionally truncated) ESDF
+    (ESDF.occupancy_map_cb, esdf.py:11-33)."""
+    occ = occupancy.to_occupancy(state.logodds, mapp)
+    emap = esdf_map.build(occ, jnp.array([mapp.origin_x, mapp.origin_y]),
+                          mapp.resolution, max_dist=mapp.edt_truncation)
+    return state.replace(emap=emap)
 
 
 def sense_and_map(state: EnvState, mapp: MapParams, cam: CameraParams
@@ -285,28 +345,37 @@ def sense_and_map(state: EnvState, mapp: MapParams, cam: CameraParams
     The perception side-chain of the reference (depth cam -> octomap_server ->
     projected_map -> ESDF.occupancy_map_cb, SURVEY.md §3.1) as one fused pass.
     """
-    depth = raycast.render_depth(state.world, state.drone.pos, state.drone.quat,
-                                 cam)
-    logodds = occupancy.insert_depth(state.logodds, depth, state.drone.pos,
-                                     state.drone.quat, cam, mapp)
-    occ = occupancy.to_occupancy(logodds, mapp)
-    emap = esdf_map.build(occ, jnp.array([mapp.origin_x, mapp.origin_y]),
-                          mapp.resolution)
-    return state.replace(logodds=logodds, emap=emap)
+    return rebuild_esdf(fuse_frame(state, mapp, cam), mapp)
 
 
 def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
                  sp: SimParams, mission_mode: str = "manual",
                  sensing: str = "gt", mapp: Optional[MapParams] = None,
                  cam: Optional[CameraParams] = None, planner: str = "expert",
-                 net_vars=None, np_cfg=None, plan_map: str = "grid"):
+                 net_vars=None, np_cfg=None, plan_map: str = "grid",
+                 replan_mode: str = "periodic", fuse_frames: int = 1):
     """One replan period: sense (in 'depth' mode), (maybe) replan, then track
-    steps_per_replan setpoints.
+    steps_per_replan setpoints. fuse_frames > 1 (depth mode) fuses that many
+    depth frames per segment — one at replan time plus fuse_frames-1
+    interleaved with tracking — approximating octomap_server's sensor-rate
+    insertion; the ESDF rebuild stays once per segment.
 
     mission_mode 'manual': stop at PHASE_DONE when reached/failed.
     mission_mode 'random': sample the next goal and continue (the data-collection
     driver, manager_node.py:160-166).
+
+    replan_mode is the reference's execute_mission dispatch
+    (traj_planner_node.py:233-245):
+      'periodic' — replan once per replan period, stop once the local target
+                   is the global goal (replan_cb gating, :421-427)
+      'online'   — replan back-to-back until the goal is reached
+                   (online_planning's busy loop, :376-388): every segment
+                   replans, the near-goal gate is ignored
+      'global'   — exactly one plan, straight to the global goal
+                   (global_planning, :365-374); no receding horizon
     """
+    if replan_mode not in ("periodic", "online", "global"):
+        raise ValueError(f"unknown replan_mode: {replan_mode}")
     spr = mp.steps_per_replan
     nbuf = state.buffer.shape[0]
 
@@ -326,9 +395,14 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
     # --- replan (masked out when not needed; lanes in a vmapped batch that skip
     # still pay the compute — planning is the segment's dominant cost either way)
     do_replan = ((state.phase == missions.PHASE_MISSION)
-                 & ~state.near_goal & ~state.reached & ~state.failed)
+                 & ~state.reached & ~state.failed)
+    if replan_mode != "online":
+        # periodic/global stop replanning once the plan targets the global goal
+        # (replan_cb gating on near_global_target, traj_planner_node.py:421-427);
+        # online keeps replanning every segment until reached (:383-388)
+        do_replan = do_replan & ~state.near_goal
     traj, new_cmd, near, key, plan_init, target_state = _replan(
-        state, pp, mp, planner, net_vars, np_cfg, cam, plan_map)
+        state, pp, mp, planner, net_vars, np_cfg, cam, plan_map, replan_mode)
     plan_ok = traj.ok & do_replan
 
     # --- des-state buffer: this segment tracks rows [0, spr); the next buffer is
@@ -360,11 +434,34 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
                           iter_sum=iter_sum, key=key, carry_wpts=carry_wpts,
                           carry_ts=carry_ts, has_carry=has_carry)
 
-    # --- track
-    drone, reached, steps, metrics, metric_pos, trace = _track_segment(
-        state, track_cmds, pp, mp, sp)
+    # --- track; in onboard mode, interleave sensor-rate depth fusion between
+    # tracking chunks (the reference's octomap_server inserts every frame at
+    # camera rate, map_server_onboard.launch:18-32, while the planner consumes
+    # the map only at replan time — fuse_frames > 1 reproduces that cadence;
+    # the ESDF itself is rebuilt once per segment, before the replan above)
+    drone_at_plan = state.drone   # record-time drone state for SegmentInfo
+    if sensing == "depth" and fuse_frames > 1:
+        if spr % fuse_frames != 0:
+            raise ValueError(f"fuse_frames={fuse_frames} must divide "
+                             f"steps_per_replan={spr}")
+        chunk = spr // fuse_frames
+        traces = []
+        for c in range(fuse_frames):
+            drone, reached, steps, metrics, metric_pos, trace = _track_segment(
+                state, track_cmds[c * chunk:(c + 1) * chunk], pp, mp, sp,
+                plan_map, i0=c * chunk)
+            state = state.replace(drone=drone, reached=reached, steps=steps,
+                                  metrics=metrics, metric_pos=metric_pos)
+            traces.append(trace)
+            if c < fuse_frames - 1:
+                state = fuse_frame(state, mapp, cam)
+        trace = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *traces)
+    else:
+        drone, reached, steps, metrics, metric_pos, trace = _track_segment(
+            state, track_cmds, pp, mp, sp, plan_map)
     info = SegmentInfo(planned=do_replan, ok=plan_ok, int_wpts=traj.int_wpts,
-                       ts=traj.ts, drone=state.drone, plan_init=plan_init,
+                       ts=traj.ts, drone=drone_at_plan, plan_init=plan_init,
                        target=target_state, iters=traj.iters, trace=trace)
 
     # --- mission termination: goal reached, too many consecutive replan
@@ -414,11 +511,13 @@ def rollout(state: EnvState, num_segments: int, pp: PlannerParams,
             mp: MissionParams, sp: SimParams, mission_mode: str = "manual",
             sensing: str = "gt", mapp: Optional[MapParams] = None,
             cam: Optional[CameraParams] = None, planner: str = "expert",
-            net_vars=None, np_cfg=None, plan_map: str = "grid") -> EnvState:
+            net_vars=None, np_cfg=None, plan_map: str = "grid",
+            replan_mode: str = "periodic", fuse_frames: int = 1) -> EnvState:
     """Run num_segments replan periods under lax.scan (jit once, step many)."""
     def body(s, _):
         s2, _info = step_segment(s, pp, mp, sp, mission_mode, sensing, mapp,
-                                 cam, planner, net_vars, np_cfg, plan_map)
+                                 cam, planner, net_vars, np_cfg, plan_map,
+                                 replan_mode, fuse_frames)
         return s2, None
     out, _ = jax.lax.scan(body, state, None, length=num_segments)
     return out
