@@ -246,15 +246,102 @@ def descend_path(emap: ESDFMap, field: jnp.ndarray, start: jnp.ndarray,
     return pts
 
 
+_PRUNE_CLEARANCE = 0.4   # geo_planner.py:41 OBS_CLEARANCE
+_MAX_KEYS = 8            # static capacity of recorded key nodes
+_FEAS_SAMPLES = 96       # fixed-count sampling of the 0.1 m feasibility walk
+
+
+def _seg_feasible_device(emap: ESDFMap, a: jnp.ndarray, b: jnp.ndarray,
+                         clearance: float) -> jnp.ndarray:
+    """Straight-segment feasibility (geo_planner.py:37-53) with a static sample
+    count instead of the reference's 0.1 m stride (shapes must be static)."""
+    fr = jnp.linspace(0.0, 1.0, _FEAS_SAMPLES)
+    pts = a[None, :] + fr[:, None] * (b - a)[None, :]
+    dis, _ = esdf_map.sample_nearest(emap, pts)
+    return jnp.all(dis >= clearance)
+
+
+def prune_path_device(emap: ESDFMap, pts: jnp.ndarray, end: jnp.ndarray):
+    """The reference's pruning rule (geo_planner.py:55-101) as a masked scan.
+
+    pts: (N, 2) descent path; end: () int32 index of the path's last live point
+    (the greedy descent holds position at the field minimum — points beyond
+    ``end`` are duplicates and must not attract waypoints, the round-1 bug for
+    goals closer than the descent length).
+
+    Returns (i1, i2): indices into pts of the 2 interior key waypoints.
+    """
+    N = pts.shape[0]
+
+    # greedy feasibility walk: extend tail while the straight segment from the
+    # current head stays clear; on the first blocked tail, record tail-1 and
+    # restart from it (geo_planner.py:60-76)
+    def body(carry, i):
+        head, keys, nk = carry
+        live = (i <= end)
+        feas = _seg_feasible_device(emap, pts[head], pts[i], _PRUNE_CLEARANCE) \
+            | (i - head == 1)
+        record = (~feas) & live
+        store = record & (nk < _MAX_KEYS)
+        keys = jnp.where(store, keys.at[jnp.minimum(nk, _MAX_KEYS - 1)
+                                        ].set(i - 1), keys)
+        nk = nk + store.astype(jnp.int32)
+        head = jnp.where(record, i - 1, head)
+        return (head, keys, nk), None
+
+    keys0 = jnp.zeros((_MAX_KEYS,), jnp.int32)
+    (_, keys, nk), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.int32), keys0, jnp.zeros((), jnp.int32)),
+        jnp.arange(1, N))
+
+    # full key list = [0, recorded..., end]; n = nk + 2 entries
+    n = nk + 2
+    endf = end.astype(jnp.float32)
+    k1, k2 = keys[0], keys[1]
+
+    # n == 2: evenly spaced thirds of the (straight-feasible) path (:81-83)
+    i1_2 = jnp.round(endf / 3.0).astype(jnp.int32)
+    i2_2 = jnp.round(2.0 * endf / 3.0).astype(jnp.int32)
+    # n == 3: split the longer of the two segments around the single key (:84-90)
+    left_longer = k1 > (end - k1)
+    i1_3 = jnp.where(left_longer, k1 // 2, k1)
+    i2_3 = jnp.where(left_longer, k1, (k1 + end) // 2)
+    # n == 4: the two recorded keys verbatim (:91-93)
+    i1_4, i2_4 = k1, k2
+    # n > 4: keys closest to the 1/3 and 2/3 anchors (:94-99); 0 and end are
+    # legal candidates in the reference's min() over key_index
+    valid = jnp.arange(_MAX_KEYS) < nk
+    cand = jnp.concatenate([jnp.zeros((1,), jnp.int32), keys,
+                            end[None].astype(jnp.int32)])
+    cand_valid = jnp.concatenate([jnp.ones((1,), bool), valid,
+                                  jnp.ones((1,), bool)])
+    candf = cand.astype(jnp.float32)
+    gap_l = jnp.where(cand_valid, jnp.abs(candf - endf / 3.0), jnp.inf)
+    gap_r = jnp.where(cand_valid, jnp.abs(candf - 2.0 * endf / 3.0), jnp.inf)
+    i1_m = cand[jnp.argmin(gap_l)]
+    i2_m = cand[jnp.argmin(gap_r)]
+
+    i1 = jnp.where(n == 2, i1_2,
+                   jnp.where(n == 3, i1_3, jnp.where(n == 4, i1_4, i1_m)))
+    i2 = jnp.where(n == 2, i2_2,
+                   jnp.where(n == 3, i2_3, jnp.where(n == 4, i2_4, i2_m)))
+    return i1, i2
+
+
 def geo_plan_device(emap: ESDFMap, head_state: jnp.ndarray,
                     tail_state: jnp.ndarray, key: jnp.ndarray,
                     pp: PlannerParams, num_iters: int = 256,
                     num_steps: int = 192) -> Trajectory:
-    """Fully on-device geo plan: wavefront field -> greedy path -> waypoints at
-    1/3 and 2/3 of the descent -> warm-start refine. Batched via vmap."""
+    """Fully on-device geo plan: wavefront field -> greedy descent -> the
+    reference's feasible-segment pruning (prune_path_device) -> warm-start
+    refine. Batched via vmap."""
     field = wavefront_field(emap, tail_state[0], pp.safe_dis, num_iters)
     pts = descend_path(emap, field, head_state[0], num_steps)
-    # path length ~ first index where the field minimum is reached
-    q0 = jnp.stack([pts[num_steps // 3], pts[2 * num_steps // 3]], axis=-1)
+    # live path length: first index that already sits at the held minimum
+    at_min = jnp.all(pts == pts[-1], axis=1)
+    end = jnp.argmax(at_min).astype(jnp.int32)
+    end = jnp.where(at_min[0], jnp.zeros((), jnp.int32), end)
+    i1, i2 = prune_path_device(emap, pts, end)
+    q0 = jnp.stack([pts[i1], pts[i2]], axis=-1)
     return expert.warm_start_plan(emap, head_state, tail_state, q0,
                                   expert.init_ts(pp), key, pp)

@@ -76,3 +76,68 @@ def test_wavefront_device_variant():
     traj = jax.jit(geo.geo_plan_device, static_argnames=("pp",))(
         emap, head, tail, jax.random.PRNGKey(0), pp)
     assert bool(traj.ok)
+
+
+def test_device_pruning_matches_host_on_free_straight():
+    """With no obstacle in the way, both variants hit the n==2 pruning branch:
+    waypoints at the thirds of the straight path (geo_planner.py:81-83)."""
+    emap = esdf.build(jnp.zeros((120, 160)).at[10, 10].set(1.0),
+                      jnp.array([-2.0, -6.0]), 0.1)
+    start, goal = jnp.array([0.0, 0.0]), jnp.array([9.0, 0.0])
+    field = geo.wavefront_field(emap, goal, 0.5, num_iters=220)
+    pts = geo.descend_path(emap, field, start, num_steps=192)
+    at_min = jnp.all(pts == pts[-1], axis=1)
+    end = jnp.argmax(at_min).astype(jnp.int32)
+    i1, i2 = jax.jit(geo.prune_path_device)(emap, pts, end)
+    w1, w2 = np.asarray(pts[i1]), np.asarray(pts[i2])
+    np.testing.assert_allclose(w1, [3.0, 0.0], atol=0.35)
+    np.testing.assert_allclose(w2, [6.0, 0.0], atol=0.35)
+
+    # host parity: same thirds from the A* front-end
+    path = geo.astar(np.asarray(emap.esdf), (-2.0, -6.0), 0.1,
+                     [0.0, 0.0], [9.0, 0.0], safe_dis=0.5)
+    pruned = geo.prune_path(np.asarray(emap.esdf), (-2.0, -6.0), 0.1, path)
+    np.testing.assert_allclose(pruned[1], w1, atol=0.45)
+    np.testing.assert_allclose(pruned[2], w2, atol=0.45)
+
+
+def test_device_pruning_short_goal_no_pileup():
+    """Goals closer than the descent length: the round-1 fixed 1/3-2/3 indexing
+    piled both waypoints onto the held minimum; the pruning-parity version
+    spreads them along the live path."""
+    emap = esdf.build(jnp.zeros((120, 160)).at[10, 10].set(1.0),
+                      jnp.array([-2.0, -6.0]), 0.1)
+    start, goal = jnp.array([0.0, 0.0]), jnp.array([2.4, 0.0])
+    field = geo.wavefront_field(emap, goal, 0.5, num_iters=220)
+    pts = geo.descend_path(emap, field, start, num_steps=192)  # >> 24 cells
+    at_min = jnp.all(pts == pts[-1], axis=1)
+    end = jnp.argmax(at_min).astype(jnp.int32)
+    i1, i2 = jax.jit(geo.prune_path_device)(emap, pts, end)
+    w1, w2 = np.asarray(pts[i1]), np.asarray(pts[i2])
+    np.testing.assert_allclose(w1, [0.8, 0.0], atol=0.3)
+    np.testing.assert_allclose(w2, [1.6, 0.0], atol=0.3)
+    assert np.linalg.norm(w1 - w2) > 0.3   # not piled onto one point
+
+
+def test_device_pruning_matches_host_around_wall():
+    """Golden with one wall: the device pruning lands its key waypoints within
+    a few cells of the host prune_path's choices."""
+    pp = PlannerParams(max_iters=96)
+    _, emap = make_map()
+    start, goal = jnp.array([0.0, 0.0]), jnp.array([10.0, 0.0])
+
+    path = geo.astar(np.asarray(emap.esdf), (-2.0, -6.0), 0.1,
+                     [0.0, 0.0], [10.0, 0.0], safe_dis=pp.safe_dis)
+    pruned = np.array(geo.prune_path(np.asarray(emap.esdf), (-2.0, -6.0), 0.1,
+                                     path)[1:3])
+
+    field = geo.wavefront_field(emap, goal, pp.safe_dis, num_iters=256)
+    pts = geo.descend_path(emap, field, start, num_steps=192)
+    at_min = jnp.all(pts == pts[-1], axis=1)
+    end = jnp.argmax(at_min).astype(jnp.int32)
+    i1, i2 = jax.jit(geo.prune_path_device)(emap, pts, end)
+    dev = np.stack([np.asarray(pts[i1]), np.asarray(pts[i2])])
+
+    # the two front-ends route around the same wall corner; the pruned interior
+    # waypoints must agree to within a small number of cells
+    assert np.abs(dev - pruned).max() < 1.0, (dev, pruned)
