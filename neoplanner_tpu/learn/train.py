@@ -150,14 +150,22 @@ def save_checkpoint(path: str, variables, np_cfg: NetParams) -> None:
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], NetParams]:
+    """Device-agnostic restore: checkpoints written on TPU embed the device in
+    their sharding metadata, which StandardCheckpointer replays verbatim and
+    fails on any other backend (e.g. the CPU test harness). Restoring as plain
+    numpy sidesteps the recorded sharding; jit re-places the arrays on use."""
     import json
     import os
 
+    import numpy as np
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        restored = ckptr.restore(path, restore_args=restore_args)
     with open(path + ".netcfg.json") as f:
         np_cfg = NetParams(**json.load(f))
     return restored["variables"], np_cfg

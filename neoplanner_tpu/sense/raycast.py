@@ -81,20 +81,66 @@ def _ray_cylinder(o, d, centers, half):
     return jnp.minimum(side, jnp.minimum(*t_caps))
 
 
-# pixel-row chunk target: keep the per-chunk (rows, W, K) slab-test temporary
-# around this many elements (a full 640x480x24 image materializes 7 GB per
-# 256-env batch otherwise)
-_CHUNK_ELEMS = 1_500_000
+# primitives tested per scan step: the live slab-test temporary is
+# (..., H, W, _PRIM_CHUNK) instead of (..., H, W, K). Row-chunking (round 1)
+# bounded the per-env temporary but not the vmapped batch's — a 4096-env
+# 160x120x24 render materialized 2 x 7.5 GB and OOMed the chip.
+_PRIM_CHUNK = 4
+
+
+def _trace_chunk(world: BoxWorld, pos: jnp.ndarray, dirs: jnp.ndarray,
+                 sl) -> jnp.ndarray:
+    """Min hit distance of rays against one slice of the primitive arrays."""
+    centers = world.centers[sl]
+    half = world.half_sizes[sl]
+    t_box = _ray_box(pos, dirs, centers, half)
+    t_cyl = _ray_cylinder(pos, dirs, centers, half)
+    t_prim = jnp.where(world.shape[sl] == SHAPE_CYLINDER, t_cyl, t_box)
+    t_prim = jnp.where(world.active[sl], t_prim, _INF)
+    return jnp.min(t_prim, axis=-1)
 
 
 def _trace_rays(world: BoxWorld, pos: jnp.ndarray, dirs: jnp.ndarray
                 ) -> jnp.ndarray:
-    """Nearest-hit distance for rays (..., 3) against the scene + ground."""
-    t_box = _ray_box(pos, dirs, world.centers, world.half_sizes)
-    t_cyl = _ray_cylinder(pos, dirs, world.centers, world.half_sizes)
-    t_prim = jnp.where(world.shape == SHAPE_CYLINDER, t_cyl, t_box)
-    t_prim = jnp.where(world.active, t_prim, _INF)
-    t = jnp.min(t_prim, axis=-1)
+    """Nearest-hit distance for rays (..., 3) against the scene + ground.
+
+    Primitives are tested _PRIM_CHUNK at a time under a fori_loop carrying the
+    running min, so the temporary stays (..., chunk)-wide however large the
+    (vmapped) ray batch is. K is padded to the chunk at trace time (inactive
+    primitives already resolve to _INF).
+    """
+    K = world.centers.shape[0]
+    n_chunks = -(-K // _PRIM_CHUNK)
+
+    if n_chunks <= 1:
+        t = _trace_chunk(world, pos, dirs, slice(0, K))
+    else:
+        pad = n_chunks * _PRIM_CHUNK - K
+        if pad:
+            world = BoxWorld(
+                centers=jnp.pad(world.centers, ((0, pad), (0, 0))),
+                half_sizes=jnp.pad(world.half_sizes, ((0, pad), (0, 0)),
+                                   constant_values=0.01),
+                active=jnp.pad(world.active, (0, pad)),
+                shape=jnp.pad(world.shape, (0, pad)))
+
+        def body(c, t):
+            sl = jax.lax.dynamic_slice_in_dim  # noqa: F841 (doc)
+            start = c * _PRIM_CHUNK
+            w = BoxWorld(
+                centers=jax.lax.dynamic_slice_in_dim(world.centers, start,
+                                                     _PRIM_CHUNK),
+                half_sizes=jax.lax.dynamic_slice_in_dim(world.half_sizes,
+                                                        start, _PRIM_CHUNK),
+                active=jax.lax.dynamic_slice_in_dim(world.active, start,
+                                                    _PRIM_CHUNK),
+                shape=jax.lax.dynamic_slice_in_dim(world.shape, start,
+                                                   _PRIM_CHUNK))
+            return jnp.minimum(t, _trace_chunk(w, pos, dirs,
+                                               slice(0, _PRIM_CHUNK)))
+
+        t0 = jnp.full(dirs.shape[:-1], _INF)
+        t = jax.lax.fori_loop(0, n_chunks, body, t0)
 
     dz = dirs[..., 2]
     t_ground = jnp.where(dz < -1e-6, -pos[2] / jnp.where(dz < -1e-6, dz, -1.0),
@@ -107,20 +153,7 @@ def render_depth(world: BoxWorld, pos: jnp.ndarray, quat: jnp.ndarray,
     """(H, W) z-depth image from a camera at `pos` with body attitude `quat`."""
     dirs_body = ray_dirs_camera(cam)                       # (H, W, 3)
     dirs = frames.quat_rotate(quat[None, None, :], dirs_body)
-
-    K = world.centers.shape[0]
-    rows_per_chunk = max(1, _CHUNK_ELEMS // (cam.width * K))
-    if rows_per_chunk >= cam.height:
-        t = _trace_rays(world, pos, dirs)
-    else:
-        # pad H to a multiple of the chunk and lax.map over row blocks so the
-        # (rows, W, K) temporary stays bounded regardless of image size
-        n_chunks = -(-cam.height // rows_per_chunk)
-        pad = n_chunks * rows_per_chunk - cam.height
-        dirs_p = jnp.pad(dirs, ((0, pad), (0, 0), (0, 0)))
-        chunks = dirs_p.reshape(n_chunks, rows_per_chunk, cam.width, 3)
-        t = jax.lax.map(lambda d: _trace_rays(world, pos, d), chunks)
-        t = t.reshape(n_chunks * rows_per_chunk, cam.width)[: cam.height]
+    t = _trace_rays(world, pos, dirs)
 
     # z-depth = range along the body-x (optical-z) axis, Gazebo-style
     x_body = frames.quat_rotate(quat, jnp.array([1.0, 0.0, 0.0]))

@@ -14,8 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import MissionParams, PlannerParams
-from neoplanner_tpu.core.types import ESDFMap
-from neoplanner_tpu.mapping import esdf as esdf_map
+from neoplanner_tpu.mapping import query
 
 # mission FSM phases (manager_node.py:93 states, minus INIT which is instantaneous)
 PHASE_TAKEOFF = 0
@@ -26,11 +25,12 @@ PHASE_DONE = 3
 _ESCAPE_STEPS = 16  # static bound of the reference's unbounded escape while-loop
 
 
-def set_local_target(emap: ESDFMap, pos2d: jnp.ndarray, goal2d: jnp.ndarray,
+def set_local_target(pmap, pos2d: jnp.ndarray, goal2d: jnp.ndarray,
                      key: jnp.ndarray, retry_seed: jnp.ndarray,
                      mp: MissionParams, pp: PlannerParams):
     """Pick the receding-horizon local target (traj_planner_node.py:450-488).
 
+    pmap: ESDFMap or SceneMap (any mapping/query backend).
     Returns (target_state (2, 2) = [pos; vel], near_goal ()).
     - within longitu_step_dis of the goal: target = goal, zero velocity, near=True
     - else: longitu_step_dis ahead toward the goal (+N(0,1) noise when
@@ -50,7 +50,7 @@ def set_local_target(emap: ESDFMap, pos2d: jnp.ndarray, goal2d: jnp.ndarray,
 
     def escape(i, carry):
         lt, flag, move = carry
-        blocked = esdf_map.has_collision(emap, lt, pp.safe_dis)
+        blocked = query.has_collision(pmap, lt, pp.safe_dis)
         direction = jnp.where(flag == 0, 1.0, -1.0)
         lt = jnp.where(blocked, lt + direction * move * lat, lt)
         flag = jnp.where(blocked, 1 - flag, flag)

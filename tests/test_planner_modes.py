@@ -98,12 +98,52 @@ def test_neo_vision_mode(world, net):
     assert float(jnp.sum(state.emap.occupancy)) > 0  # flew on a sensed map
 
 
-def test_neo_cheaper_iters_than_expert_when_trained(world, net):
-    """The headline claim (README.md:5-11): NN warm start cuts optimizer
-    iterations. With a briefly trained net this at least matches the expert
-    within noise; assert the pipeline exposes the counters to measure it."""
-    s_expert = _fly(world, "expert")
-    s_neo = _fly(world, "neo", net)
-    it_expert = int(s_expert.iter_sum) / max(int(s_expert.plan_count), 1)
-    it_neo = int(s_neo.iter_sum) / max(int(s_neo.plan_count), 1)
-    assert it_expert > 0 and it_neo > 0
+def test_neo_cheaper_iters_than_expert_when_trained(world):
+    """The headline claim (README.md:5-11 of the reference): a trained
+    initializer lets the optimizer run a lean 3-lane warm-start bank instead of
+    the expert's 12-lane multi-start search, spending far fewer total L-BFGS
+    iterations per plan at the same mission success. Uses the committed
+    at-scale checkpoint (artifacts/planner_net_smallconv, BASELINE.md: 44 vs
+    203 iters/plan on TPU) so this fails if the thesis regresses."""
+    import os
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "planner_net_smallconv")
+    net_vars, np_cfg = train.load_checkpoint(ckpt)
+    cam = CameraParams(width=np_cfg.img_width, height=np_cfg.img_height)
+    # expert = the reference's deployed search (12 lanes); neo = lean bank
+    # (warm-start lane + 2 noisy retries), the flagship bench config
+    pp_expert = PlannerParams(max_iters=64)
+    pp_neo = PlannerParams(max_iters=64, retry_num=2, extra_lateral_scales=())
+
+    step = jax.jit(env.step_segment, static_argnames=(
+        "pp", "mp", "sp", "mission_mode", "sensing", "mapp", "cam", "planner",
+        "np_cfg", "plan_map"))
+
+    def fly(planner, pp, goal):
+        state = env.reset(jax.random.PRNGKey(0), world, goal, pp, MP, MAPP)
+        for _ in range(30):
+            state, _ = step(state, pp, MP, SP, "manual", "gt", None,
+                            cam if planner == "neo" else None, planner,
+                            net_vars if planner == "neo" else None,
+                            np_cfg if planner == "neo" else None)
+            if bool(state.reached) or bool(state.failed):
+                break
+        return state
+
+    iters_e, iters_n = [], []
+    for goal in (jnp.array([10.0, 0.0]), jnp.array([8.0, 2.0])):
+        s_expert = fly("expert", pp_expert, goal)
+        s_neo = fly("neo", pp_neo, goal)
+        # lean-bank NEO still completes the mission collision-free
+        assert bool(s_neo.reached), (bool(s_neo.failed), float(s_neo.steps))
+        assert float(s_neo.metrics[2]) < 1e-3
+        assert bool(s_expert.reached)
+        iters_e.append(int(s_expert.iter_sum) / max(int(s_expert.plan_count), 1))
+        iters_n.append(int(s_neo.iter_sum) / max(int(s_neo.plan_count), 1))
+
+    it_expert = np.mean(iters_e)
+    it_neo = np.mean(iters_n)
+    # the thesis, with margin: the trained initializer at least halves the
+    # per-plan iteration budget (TPU-measured ratio is ~0.22, BASELINE.md)
+    assert it_neo < 0.5 * it_expert, (it_neo, it_expert)
