@@ -1,18 +1,24 @@
 """Headline benchmark: aggregate sim+replan throughput of the closed loop.
 
-Runs B parallel envs of the full pipeline — receding-horizon expert replanning
-(multi-start L-BFGS) + 60 Hz control/physics tracking — on the available device
-mesh and reports aggregate sim+replan steps/sec (one step = one 60 Hz command
-period; each 60-step segment includes one full trajectory optimization).
+Runs B parallel envs of the full pipeline — receding-horizon replanning (NEO:
+NN warm start + lean refinement bank) + 60 Hz control/physics tracking — on
+the available device mesh and reports aggregate sim+replan steps/sec (one step
+= one 60 Hz command period; each 60-step segment includes one full trajectory
+optimization).
 
 Baseline (BASELINE.md): > 1M aggregate steps/s on a v5e-8 → 125k per chip.
 vs_baseline is measured against that per-chip pro-rata target.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extras": ...}
 
-Env knobs: BENCH_ENVS (default 1024), BENCH_SEGMENTS (default 4),
-BENCH_MAX_ITERS (default 32).
+extras carry the SURVEY §5 observability obligations: per-stage wall times
+(plan/track) and a FLOP count + MFU for roofline context (the segment is
+VPU-dominated f32 work; MFU is quoted against the v5e bf16 MXU peak, so it is
+a deliberately conservative utilization bound).
+
+Env knobs: BENCH_ENVS (default 4096), BENCH_SEGMENTS (default 6),
+BENCH_MAX_ITERS (default 24), BENCH_BREAKDOWN=0 to skip the stage programs.
 """
 
 import json
@@ -36,11 +42,25 @@ from neoplanner_tpu.parallel import mesh as pmesh  # noqa: E402
 from neoplanner_tpu.sim import env  # noqa: E402
 from neoplanner_tpu.world import scenegen  # noqa: E402
 
+# v5e per-chip peak: 197 TFLOP/s bf16 (MXU); the roofline denominator
+_PEAK_FLOPS = 197e12
+
+
+def _flops_of(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def main():
-    B = int(os.environ.get("BENCH_ENVS", 1024))
+    B = int(os.environ.get("BENCH_ENVS", 4096))
     K = int(os.environ.get("BENCH_SEGMENTS", 6))
     max_iters = int(os.environ.get("BENCH_MAX_ITERS", 24))
+    breakdown = os.environ.get("BENCH_BREAKDOWN", "1") == "1"
     ckpt = os.environ.get(
         "BENCH_NET",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -73,8 +93,11 @@ def main():
 
     worlds = scenegen.generate_batch(jax.random.PRNGKey(0), B, wp)
     keys = jax.random.split(jax.random.PRNGKey(1), B)
+    # plan_map='scene' reset: analytic-SDF backend, no per-env grids (the
+    # round-1 1 MB/env HBM footprint that capped scaling at B=4096)
     states = jax.jit(jax.vmap(
-        lambda k, w: env.reset(k, w, None, pp, mp, mapp)))(keys, worlds)
+        lambda k, w: env.reset(k, w, None, pp, mp, mapp,
+                               plan_map="scene")))(keys, worlds)
     states = pmesh.shard_batch(states, mesh)
 
     def step_all(s):
@@ -85,16 +108,28 @@ def main():
 
     step = pmesh.sharded_vmap_step(step_all, mesh)
 
-    # warmup (compile + one segment)
+    # AOT-compile so the executable's own cost analysis provides the FLOP count
+    t0 = time.time()
+    compiled = step.lower(states).compile()
+    compile_s = time.time() - t0
+    seg_flops = _flops_of(compiled)
+
+    def fetch(s):
+        # IMPORTANT: under the axon tunnel block_until_ready can return before
+        # the remote computation finishes (donated buffers report ready early);
+        # a host fetch of a derived scalar is the only reliable barrier
+        return float(np.asarray(jnp.sum(s.drone.pos)))
+
+    # warmup (one segment)
     t0 = time.time()
     states = step(states)
-    jax.block_until_ready(states.drone.pos)
+    fetch(states)
     warm = time.time() - t0
 
     t0 = time.time()
     for _ in range(K):
         states = step(states)
-    jax.block_until_ready(states.drone.pos)
+    fetch(states)
     dt = time.time() - t0
 
     spr = mp.steps_per_replan
@@ -102,22 +137,54 @@ def main():
     replans_per_sec = B * K / dt
     baseline = 1_000_000.0 * n_dev / 8.0
 
+    extras = {
+        "envs": B,
+        "devices": n_dev,
+        "segments_timed": K,
+        "replans_per_sec": round(replans_per_sec, 2),
+        "seconds_per_segment_batch": round(dt / K, 4),
+        "warmup_seconds": round(warm, 2),
+        "compile_seconds": round(compile_s, 1),
+        "planner_max_iters": max_iters,
+        "missions_done": int(np.asarray(states.missions_done).sum()),
+        "missions_ok": int(np.asarray(states.missions_ok).sum()),
+        "segment_gflops": round(seg_flops / 1e9, 2),
+        "device_gflops_per_sec": round(seg_flops * K / dt / 1e9, 1),
+        "mfu_bf16_peak_pct": round(100.0 * seg_flops * K / dt
+                                   / (_PEAK_FLOPS * n_dev), 3),
+    }
+
+    if breakdown:
+        # per-stage wall times (SURVEY §5 tracing): the replan stage (NN init +
+        # refinement bank) and the 60-substep tracking scan, as standalone
+        # programs over the same states
+        def plan_all(s):
+            return jax.vmap(lambda x: env._replan(
+                x, pp, mp, planner, net_vars, np_cfg, cam, "scene")[0])(s)
+
+        def track_all(s):
+            return jax.vmap(lambda x: env._track_segment(
+                x, x.buffer[:spr], pp, mp, sp, "scene")[0])(s)
+
+        for name, fn in (("plan", plan_all), ("track", track_all)):
+            f = jax.jit(fn)
+
+            def fetch_out(out):
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return float(np.asarray(jnp.sum(leaf)))
+
+            fetch_out(f(states))
+            t0 = time.time()
+            for _ in range(3):
+                fetch_out(f(states))
+            extras[f"{name}_ms"] = round((time.time() - t0) / 3 * 1e3, 2)
+
     result = {
         "metric": f"aggregate sim+replan steps/sec (closed loop, {planner} planner)",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 4),
-        "extras": {
-            "envs": B,
-            "devices": n_dev,
-            "segments_timed": K,
-            "replans_per_sec": round(replans_per_sec, 2),
-            "seconds_per_segment_batch": round(dt / K, 3),
-            "warmup_seconds": round(warm, 1),
-            "planner_max_iters": max_iters,
-            "missions_done": int(np.asarray(states.missions_done).sum()),
-            "missions_ok": int(np.asarray(states.missions_ok).sum()),
-        },
+        "extras": extras,
     }
     print(json.dumps(result))
 

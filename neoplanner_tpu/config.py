@@ -69,6 +69,12 @@ class PlannerParams:
     max_ls: int = 8               # parallel line-search candidates (halving from
                                   # the unit step; the reference's sequential
                                   # maxls=20 is an upper bound it rarely reaches)
+    # line-search candidate axis: 'wide' = one widened vmap evaluation (cuts
+    # the per-iteration sequential depth from max_ls+1 to 2 cost evals; costs
+    # max_ls x the eval temporary), 'map' = sequential lax.map (memory-light,
+    # for per-env-grid closures at large batch), 'auto' = wide on the analytic
+    # scene backend, map on grids
+    ls_mode: str = "auto"
 
     # cost sampling mode: 'absolute' reproduces the reference discretization
     # (samples at t=j*delta_t, j < floor(T/delta_t)); 'relative' samples at
@@ -173,6 +179,11 @@ class MapParams:
     clamp_min: float = 0.12
     clamp_max: float = 0.97
     occ_threshold: float = 0.5
+    # ESDF truncation radius [m] for online (per-frame) rebuilds: 0 = exact
+    # transform (reference parity); > 0 clamps distances beyond it, which every
+    # loop consumer tolerates (all compare against safe_dis <= 0.7) and cuts
+    # the rebuild's min-plus pass by ~H/(2*radius/resolution)
+    edt_truncation: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -83,8 +83,17 @@ def _two_loop(g, s_hist, y_hist, rho, head, count, m):
 
 def minimize(fun: Callable, x0: jnp.ndarray, *, max_iters: int = 256,
              history: int = 10, max_ls: int = 8, ftol: float = 1e-9,
-             gtol: float = 1e-6, c1: float = 1e-4) -> LBFGSResult:
-    """Minimize ``fun(x) -> scalar`` from x0. All arguments after x0 are static."""
+             gtol: float = 1e-6, c1: float = 1e-4,
+             ls_parallel: bool = False) -> LBFGSResult:
+    """Minimize ``fun(x) -> scalar`` from x0. All arguments after x0 are static.
+
+    ls_parallel=True evaluates the line-search candidate schedule as one
+    widened vmap instead of a sequential lax.map: max_ls times the temporary
+    memory, but the iteration's sequential depth drops from max_ls+1 cost
+    evaluations to 2. Use when the closed-over problem data is small (the
+    analytic scene backend); the sequential mode remains for memory-heavy
+    closures (per-env ESDF grids).
+    """
     n = x0.shape[0]
     m = history
     value_and_grad = jax.value_and_grad(fun)
@@ -118,12 +127,15 @@ def minimize(fun: Callable, x0: jnp.ndarray, *, max_iters: int = 256,
         # Data-parallel backtracking line search: evaluate the whole halving
         # schedule t0·2^-k and take the first Armijo-acceptable step. Identical
         # result to sequential backtracking, but a batched while_loop would run
-        # every vmapped lane to the slowest lane's step count. lax.map (not
-        # vmap) keeps the candidate axis sequential so the temporary stays one
-        # evaluation wide — a widened vmap materializes (batch × candidates ×
-        # samples × primitives) tensors that OOM at 4096 envs.
+        # every vmapped lane to the slowest lane's step count. Candidate axis:
+        # vmap (ls_parallel — one wide evaluation, max_ls x the temporary) or
+        # lax.map (sequential, one evaluation wide — for closures holding
+        # per-env grids, where the widened form OOMs at large batch).
         steps = t0 * (0.5 ** jnp.arange(max_ls))
-        f_cand = jax.lax.map(lambda t: fun(st.x + t * d), steps)
+        if ls_parallel:
+            f_cand = jax.vmap(lambda t: fun(st.x + t * d))(steps)
+        else:
+            f_cand = jax.lax.map(lambda t: fun(st.x + t * d), steps)
         armijo = f_cand <= st.f + c1 * steps * gtd
         first_ok = jnp.argmax(armijo)          # first True (0 if none)
         ls_ok = jnp.any(armijo)

@@ -87,8 +87,14 @@ def solve_one(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
     x0 = costs_mod.pack(int_wpts0, minco.T_to_tau(ts0, pp.t_min, pp.t_max), pp)
     fun = partial(costs_mod.objective, head_state=head_state,
                   tail_state=tail_state, emap=emap, pp=pp)
+    if pp.ls_mode == "auto":
+        from neoplanner_tpu.mapping import scene as scene_map
+        ls_parallel = isinstance(emap, scene_map.SceneMap)
+    else:
+        ls_parallel = pp.ls_mode == "wide"
     res = lbfgs.minimize(fun, x0, max_iters=pp.max_iters, history=pp.history,
-                         max_ls=pp.max_ls, ftol=1e-10, gtol=1e-8)
+                         max_ls=pp.max_ls, ftol=1e-10, gtol=1e-8,
+                         ls_parallel=ls_parallel)
     q, tau = costs_mod.unpack(res.x, pp)
     ts = minco.tau_to_T(tau, pp.t_min, pp.t_max)
     cvec, coeffs = costs_mod.traj_costs(head_state, tail_state, q, ts, emap, pp)
