@@ -16,6 +16,8 @@ brute-force lower envelope, which vectorizes perfectly at these grid sizes).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -68,6 +70,42 @@ def edt_sq_cells(occupancy: jnp.ndarray) -> jnp.ndarray:
         from neoplanner_tpu.ops import edt_pallas
         return edt_pallas.pass2(g2)
     return _pass2(g2)
+
+
+def _pass2_banded(g2: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Banded min-plus: out[i,j] = min_{|d|<=radius} (d² + g2[i+d, j]), clamped
+    at radius². An unrolled chain of 2·radius shifted adds+mins that XLA fuses
+    into one elementwise kernel — O(H·W·2R) instead of pass 2's O(H²·W)."""
+    H, W = g2.shape
+    r2 = jnp.float32(radius * radius)
+    out = jnp.minimum(g2, r2)
+    big = jnp.full((1, W), _BIG)
+    for d in range(1, min(radius, H - 1) + 1):
+        dd = jnp.float32(d * d)
+        down = jnp.concatenate([g2[d:], jnp.broadcast_to(big, (d, W))])
+        up = jnp.concatenate([jnp.broadcast_to(big, (d, W)), g2[:-d]])
+        out = jnp.minimum(out, jnp.minimum(down, up) + dd)
+    return jnp.minimum(out, r2)
+
+
+def edt_truncated(occupancy: jnp.ndarray, resolution, max_dist: float
+                  ) -> jnp.ndarray:
+    """EDT in meters, exact below ``max_dist`` and clamped to it above.
+
+    The closed loop only consumes distances below ~safe_dis (collision hinge,
+    metric, local-target escape, wavefront blocking all compare against
+    0.4-0.7 m — expert_planner.py:417, traj_planner_node.py:355,
+    geo_planner.py:41), so a truncated field is loop-equivalent while the
+    banded pass 2 does R/H of the exact transform's work. Truncation is exact:
+    any true distance < max_dist has its row offset |i-k| < R, inside the band.
+    """
+    res = float(resolution)
+    radius = max(1, int(math.ceil(max_dist / res)))
+    occ = occupancy > 0.5
+    g2 = jnp.minimum(_row_distance_sq(occ), jnp.float32((radius + 1) ** 2))
+    d2 = _pass2_banded(g2, radius)
+    d = jnp.sqrt(d2) * res
+    return jnp.minimum(d, max_dist)
 
 
 def edt(occupancy: jnp.ndarray, resolution) -> jnp.ndarray:

@@ -70,3 +70,22 @@ def test_batched(rng):
     for i in range(3):
         want = ndimage.distance_transform_edt(1 - occ[i]) * 0.1
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+
+def test_truncated_exact_below_radius(rng):
+    """Truncated EDT equals the exact transform wherever the exact value is
+    below max_dist, and clamps to max_dist everywhere else."""
+    occ = (rng.random((48, 64)) < 0.05).astype(np.float32)
+    res = 0.1
+    exact = ndimage.distance_transform_edt(1 - occ) * res
+    for max_dist in (0.8, 1.6, 3.0):
+        got = np.asarray(edt.edt_truncated(jnp.array(occ), res, max_dist))
+        near = exact < max_dist
+        np.testing.assert_allclose(got[near], exact[near], rtol=1e-5,
+                                   atol=1e-5)
+        assert np.all(got[~near] == np.float32(max_dist))
+
+
+def test_truncated_empty_grid():
+    got = np.asarray(edt.edt_truncated(jnp.zeros((16, 16)), 0.1, 2.0))
+    assert np.all(got == np.float32(2.0))

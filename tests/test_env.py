@@ -115,3 +115,42 @@ def test_random_mission_mode(world):
     for _ in range(40):
         state, _ = step(state, PP, MP, SP, "random")
     assert int(state.missions_done) >= 1
+
+
+def test_vision_sensor_rate_fusion_and_truncated_edt(world):
+    """Onboard mode with sensor-rate fusion (fuse_frames=6 ~ the reference's
+    octomap insertion between replans) and a truncated ESDF rebuild: the
+    mission still completes collision-free on the sensed map, and the
+    truncated field agrees with the exact one below the truncation radius."""
+    from neoplanner_tpu.config import CameraParams
+    from neoplanner_tpu.mapping import occupancy
+    from neoplanner_tpu.ops import edt as edt_ops
+
+    cam = CameraParams(width=64, height=48)
+    mapp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6,
+                     edt_truncation=2.0)
+    goal = jnp.array([10.0, 0.0])
+    state = env.reset(jax.random.PRNGKey(0), world, goal, PP, MP, mapp,
+                      sensing="depth")
+    step = jax.jit(env.step_segment, static_argnames=(
+        "pp", "mp", "sp", "mission_mode", "sensing", "mapp", "cam", "planner",
+        "np_cfg", "plan_map", "replan_mode", "fuse_frames"))
+    for _ in range(30):
+        state, _ = step(state, PP, MP, SP, "manual", "depth", mapp, cam,
+                        fuse_frames=6)
+        if bool(state.reached) or bool(state.failed):
+            break
+    assert bool(state.reached), (bool(state.failed), float(state.steps))
+    assert float(state.metrics[2]) < 1e-3
+    # more occupancy got fused than a single-frame-per-segment run would see
+    assert float(jnp.sum(state.emap.occupancy)) > 0
+
+    # the truncated field matches an exact rebuild below the truncation radius
+    # (rebuild from the same log-odds snapshot: state.emap itself is one
+    # rebuild older than state.logodds, which kept fusing during the segment)
+    occ = occupancy.to_occupancy(state.logodds, mapp)
+    exact = np.asarray(edt_ops.edt(occ, mapp.resolution))
+    got = np.asarray(env.rebuild_esdf(state, mapp).emap.esdf)
+    near = exact < mapp.edt_truncation
+    np.testing.assert_allclose(got[near], exact[near], rtol=1e-4, atol=1e-4)
+    assert np.all(got[~near] >= mapp.edt_truncation - 1e-5)
