@@ -57,6 +57,7 @@ def main():
     from neoplanner_tpu.world import worldio
 
     records = []
+    rollers = {}   # one compiled rollout per planner, reused across worlds
     B = args.repeats
     for wi, wname in enumerate(args.worlds):
         if str(wname).isdigit():
@@ -86,11 +87,21 @@ def main():
 
         for planner in args.planners:
             keys = jax.random.split(jax.random.PRNGKey(wi * 97 + 13), B)
-            reset_b = jax.vmap(lambda k: env.reset(k, world, goal, pp, mp, mapp))
+            reset_b = jax.vmap(lambda k: env.reset(k, world, goal, pp, mp,
+                                                   mapp, plan_map="scene"))
             states = reset_b(keys)
-            roll = jax.jit(jax.vmap(lambda s: env.rollout(
-                s, args.segments, pp, mp, sp, "manual", "gt", None, cam,
-                planner, net_vars, np_cfg, "scene")))
+            roll = rollers.get(planner)
+            if roll is None:
+                roll = rollers[planner] = jax.jit(jax.vmap(
+                    lambda s, _p=planner: env.rollout(
+                        s, args.segments, pp, mp, sp, "manual", "gt", None,
+                        cam, _p, net_vars, np_cfg, "scene")))
+            # avg_planning_duration must record steady-state solves: warm the
+            # compile (and any first-touch costs) before timing — the
+            # reference's timing starts at an already-running node
+            # (traj_planner_node.py:492-509); round 1 folded jit compilation
+            # into the recorded per-plan wall time
+            jax.block_until_ready(roll(states).drone.pos)
             t0 = time.time()
             out = roll(states)
             jax.block_until_ready(out.drone.pos)

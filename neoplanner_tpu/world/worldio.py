@@ -21,29 +21,47 @@ import jax.numpy as jnp
 from neoplanner_tpu.core.types import SHAPE_BOX, SHAPE_CYLINDER, BoxWorld
 
 
-# mesh obstacles (forest.world's pine trees) are approximated by a vertical
-# cylinder of this radius — the trunk+canopy footprint that matters for the
-# 2-D occupancy slice at flight height
-_MESH_RADIUS = 0.4
-_MESH_HALF_HEIGHT = 5.0
+# Mesh obstacles (forest.world's pine trees, model://pine_tree) become TWO
+# stacked cylinders: a trunk plus a canopy. The checkout carries no oracle to
+# calibrate against — there is no forest.bt/.pcd (only poles has baked maps)
+# and pine_tree.dae itself is an external Gazebo asset absent from the repo —
+# so the dimensions below come from the standard OSRF pine_tree model (~10 m
+# tall, ~0.3 m trunk, conical canopy a few meters wide). What matters for
+# parity is that the occupancy slice z in [1.8, 10] (map_server_onboard.
+# launch:30-32) intersects the CANOPY, not just the trunk: round 1's single
+# r=0.4 cylinder under-filled the projected map that both the depth camera
+# and the octomap rasterizer would see.
+_TREE_TRUNK_RADIUS = 0.35
+_TREE_HEIGHT = 10.0
+_TREE_CANOPY_RADIUS = 1.6     # effective footprint of the cone in the slice
+_TREE_CANOPY_Z = (1.0, 9.0)   # canopy extent above the model origin
 
 
 def _find_geometry(model: ET.Element):
-    """Return (shape, half_sizes) from a model's first box/cylinder/mesh
-    geometry. Meshes become footprint cylinders (see _MESH_RADIUS)."""
+    """Return a list of (shape, half_sizes, z_offset) primitives from a model's
+    first box/cylinder/mesh geometry. z_offset shifts the primitive center
+    above the model pose (SDF tree models are rooted at ground level)."""
     size_el = model.find(".//box/size")
     if size_el is not None and size_el.text is not None:
         vals = [float(v) for v in size_el.text.split()]
-        return SHAPE_BOX, np.array(vals[:3]) / 2
+        return [(SHAPE_BOX, np.array(vals[:3]) / 2, 0.0)]
     cyl = model.find(".//cylinder")
     if cyl is not None:
         radius = float(cyl.findtext("radius", default="0.5"))
         length = float(cyl.findtext("length", default="1.0"))
-        return SHAPE_CYLINDER, np.array([radius, radius, length / 2])
+        return [(SHAPE_CYLINDER, np.array([radius, radius, length / 2]), 0.0)]
     if model.find(".//mesh") is not None:
-        return SHAPE_CYLINDER, np.array([_MESH_RADIUS, _MESH_RADIUS,
-                                         _MESH_HALF_HEIGHT])
-    return None, None
+        trunk_half = _TREE_HEIGHT / 2
+        cz0, cz1 = _TREE_CANOPY_Z
+        canopy_half = (cz1 - cz0) / 2
+        return [
+            (SHAPE_CYLINDER, np.array([_TREE_TRUNK_RADIUS, _TREE_TRUNK_RADIUS,
+                                       trunk_half]), trunk_half),
+            (SHAPE_CYLINDER, np.array([_TREE_CANOPY_RADIUS,
+                                       _TREE_CANOPY_RADIUS, canopy_half]),
+             cz0 + canopy_half),
+        ]
+    return []
 
 
 def parse_world(path: str, max_boxes: int = 64) -> BoxWorld:
@@ -54,23 +72,21 @@ def parse_world(path: str, max_boxes: int = 64) -> BoxWorld:
     if world is None:
         raise ValueError(f"{path}: no <world> element")
 
-    sizes = {}
-    shapes = {}
+    prims = {}   # model name -> [(shape, half, z_offset), ...]
     for model in world.findall("model"):
         name = model.attrib.get("name", "")
         if name == "ground_plane":
             continue
-        shape, half = _find_geometry(model)
-        if half is not None:
-            sizes[name] = half
-            shapes[name] = shape
+        found = _find_geometry(model)
+        if found:
+            prims[name] = found
 
     poses = {}
     state = world.find("state")
     if state is not None:
         for model in state.findall("model"):
             name = model.attrib.get("name", "")
-            if name == "ground_plane" or name not in sizes:
+            if name == "ground_plane" or name not in prims:
                 continue
             pose_el = model.find("pose")
             if pose_el is None or pose_el.text is None:
@@ -78,17 +94,22 @@ def parse_world(path: str, max_boxes: int = 64) -> BoxWorld:
             vals = [float(v) for v in pose_el.text.split()]
             poses[name] = np.array(vals[:3])
 
-    names = [n for n in sizes if n in poses]
+    names = [n for n in prims if n in poses]
     K = max_boxes
     centers = np.zeros((K, 3), dtype=np.float32)
     half = np.full((K, 3), 0.01, dtype=np.float32)
     active = np.zeros(K, dtype=bool)
     shape = np.zeros(K, dtype=np.int32)
-    for i, n in enumerate(names[:K]):
-        centers[i] = poses[n]
-        half[i] = sizes[n]
-        active[i] = True
-        shape[i] = shapes[n]
+    i = 0
+    for n in names:
+        for (sh, hs, z_off) in prims[n]:
+            if i >= K:
+                break
+            centers[i] = poses[n] + np.array([0.0, 0.0, z_off])
+            half[i] = hs
+            active[i] = True
+            shape[i] = sh
+            i += 1
     return BoxWorld(centers=jnp.array(centers), half_sizes=jnp.array(half),
                     active=jnp.array(active), shape=jnp.array(shape))
 
