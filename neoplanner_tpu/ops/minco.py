@@ -121,6 +121,19 @@ _LOWER_BW = 4
 _UPPER_BW = 6
 
 
+def _banded_solve_dispatch(A, b, lower_bw, upper_bw):
+    """Pick the solve backend: the Pallas batched kernel on TPU (one fused
+    program per 512-problem tile instead of ~150 dependent XLA ops — see
+    ops/minco_pallas.py), the unrolled XLA Givens everywhere else.
+    NEO_SOLVE_BACKEND=xla forces the XLA path (A/B benchmarking)."""
+    import os
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("NEO_SOLVE_BACKEND", "pallas") != "xla"):
+        from neoplanner_tpu.ops import minco_pallas
+        return minco_pallas.solve_one(A, b, lower_bw, lower_bw + upper_bw)
+    return _givens_solve(A, b, lower_bw, upper_bw)
+
+
 def _givens_solve(A: jnp.ndarray, b: jnp.ndarray, lower_bw: int,
                   upper_bw: int) -> jnp.ndarray:
     """Unrolled banded Givens-QR solve of A x = b (no pivoting needed — Givens
@@ -166,18 +179,18 @@ def solve_banded(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     pathological reverse graph (208 s on CPU); the implicit form keeps both
     directions tiny.
     """
-    return _givens_solve(A, b, _LOWER_BW, _UPPER_BW - _LOWER_BW)
+    return _banded_solve_dispatch(A, b, _LOWER_BW, _UPPER_BW - _LOWER_BW)
 
 
 def _solve_banded_fwd(A, b):
-    x = _givens_solve(A, b, _LOWER_BW, _UPPER_BW - _LOWER_BW)
+    x = _banded_solve_dispatch(A, b, _LOWER_BW, _UPPER_BW - _LOWER_BW)
     return x, (A, x)
 
 
 def _solve_banded_bwd(res, x_bar):
     A, x = res
     # Aᵀ has the transposed band: lower = original upper (2), upper = 4
-    lam = _givens_solve(A.T, x_bar, _UPPER_BW - _LOWER_BW, _LOWER_BW)
+    lam = _banded_solve_dispatch(A.T, x_bar, _UPPER_BW - _LOWER_BW, _LOWER_BW)
     A_bar = -lam @ x.T
     return A_bar, lam
 
