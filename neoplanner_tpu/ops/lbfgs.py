@@ -84,7 +84,8 @@ def _two_loop(g, s_hist, y_hist, rho, head, count, m):
 def minimize(fun: Callable, x0: jnp.ndarray, *, max_iters: int = 256,
              history: int = 10, max_ls: int = 8, ftol: float = 1e-9,
              gtol: float = 1e-6, c1: float = 1e-4,
-             ls_parallel: bool = False) -> LBFGSResult:
+             ls_parallel: bool = False,
+             ls_fun: Callable | None = None) -> LBFGSResult:
     """Minimize ``fun(x) -> scalar`` from x0. All arguments after x0 are static.
 
     ls_parallel=True evaluates the line-search candidate schedule as one
@@ -93,10 +94,18 @@ def minimize(fun: Callable, x0: jnp.ndarray, *, max_iters: int = 256,
     evaluations to 2. Use when the closed-over problem data is small (the
     analytic scene backend); the sequential mode remains for memory-heavy
     closures (per-env ESDF grids).
+
+    ls_fun, when given, evaluates the line-search candidates instead of
+    ``fun`` — it must compute the same scalar (to roundoff) but needs no
+    gradient, so a fused forward-only kernel fits here (the candidates are
+    only *compared*; the accepted point is re-evaluated with value_and_grad,
+    so optimizer state always comes from ``fun``).
     """
     n = x0.shape[0]
     m = history
     value_and_grad = jax.value_and_grad(fun)
+    if ls_fun is None:
+        ls_fun = fun
     f0, g0 = value_and_grad(x0)
 
     init = _State(
@@ -133,9 +142,9 @@ def minimize(fun: Callable, x0: jnp.ndarray, *, max_iters: int = 256,
         # per-env grids, where the widened form OOMs at large batch).
         steps = t0 * (0.5 ** jnp.arange(max_ls))
         if ls_parallel:
-            f_cand = jax.vmap(lambda t: fun(st.x + t * d))(steps)
+            f_cand = jax.vmap(lambda t: ls_fun(st.x + t * d))(steps)
         else:
-            f_cand = jax.lax.map(lambda t: fun(st.x + t * d), steps)
+            f_cand = jax.lax.map(lambda t: ls_fun(st.x + t * d), steps)
         armijo = f_cand <= st.f + c1 * steps * gtd
         first_ok = jnp.argmax(armijo)          # first True (0 if none)
         ls_ok = jnp.any(armijo)

@@ -87,14 +87,27 @@ def solve_one(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
     x0 = costs_mod.pack(int_wpts0, minco.T_to_tau(ts0, pp.t_min, pp.t_max), pp)
     fun = partial(costs_mod.objective, head_state=head_state,
                   tail_state=tail_state, emap=emap, pp=pp)
+    from neoplanner_tpu.mapping import scene as scene_map
+    is_scene = isinstance(emap, scene_map.SceneMap)
     if pp.ls_mode == "auto":
-        from neoplanner_tpu.mapping import scene as scene_map
-        ls_parallel = isinstance(emap, scene_map.SceneMap)
+        ls_parallel = is_scene
     else:
         ls_parallel = pp.ls_mode == "wide"
+    # line-search candidates need values only: on the TPU scene backend,
+    # evaluate them with the fused forward kernel (plan/costs_pallas.py) —
+    # profiling showed these forward evals dominate the solve wall time
+    ls_fun = None
+    if (is_scene and pp.sampling == "relative"
+            and jax.default_backend() == "tpu"):
+        import os
+        if os.environ.get("NEO_LS_BACKEND", "pallas") != "xla":
+            from neoplanner_tpu.plan import costs_pallas
+            ls_fun = partial(costs_pallas.objective_fwd,
+                             head_state=head_state, tail_state=tail_state,
+                             scene=emap, pp=pp)
     res = lbfgs.minimize(fun, x0, max_iters=pp.max_iters, history=pp.history,
                          max_ls=pp.max_ls, ftol=1e-10, gtol=1e-8,
-                         ls_parallel=ls_parallel)
+                         ls_parallel=ls_parallel, ls_fun=ls_fun)
     q, tau = costs_mod.unpack(res.x, pp)
     ts = minco.tau_to_T(tau, pp.t_min, pp.t_max)
     cvec, coeffs = costs_mod.traj_costs(head_state, tail_state, q, ts, emap, pp)
@@ -166,6 +179,36 @@ def warm_start_plan(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndar
                               jnp.argmin(bank.costs[:, 3])))
     picked = jax.tree_util.tree_map(lambda leaf: leaf[idx], bank)
     return picked.replace(ok=any_ok, iters=jnp.sum(bank.iters))
+
+
+def adaptive_num_pieces(start_pos, target_pos, init_seg_len: float = 2.0
+                        ) -> int:
+    """The reference's 'adaptive' init mode piece count
+    (generate_init_variables, expert_planner.py:87-88; init_seg_len default
+    2.0 m, traj_planner_node.py:41): one intermediate waypoint per
+    ~init_seg_len of straight-line distance, at least one."""
+    import math
+
+    import numpy as np
+
+    dist = float(np.linalg.norm(np.asarray(target_pos) - np.asarray(start_pos)))
+    return max(math.ceil(dist / init_seg_len - 1), 1) + 1
+
+
+def plan_adaptive(emap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
+                  key: jnp.ndarray, pp: PlannerParams,
+                  init_seg_len: float = 2.0) -> Trajectory:
+    """Expert plan with the 'adaptive' waypoint count (init_wpts_mode
+    switch, expert_planner.py:87-90). Shapes must be static under XLA, so M
+    is chosen on the host from *concrete* boundary positions — each distinct
+    M compiles once and is cached. Use from host-level flows (e.g. a single
+    global plan to a far goal); the jitted closed loop pins M
+    (planner_config.yaml:8-10, SURVEY §7 'Dynamic piece count')."""
+    import dataclasses
+
+    M = adaptive_num_pieces(head_state[0], tail_state[0], init_seg_len)
+    return plan(emap, head_state, tail_state, key,
+                dataclasses.replace(pp, num_pieces=M))
 
 
 def pad_boundary_state(state_2rows: jnp.ndarray, pp: PlannerParams) -> jnp.ndarray:

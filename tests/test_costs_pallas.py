@@ -1,0 +1,82 @@
+"""Fused forward objective kernel vs plan/costs.objective (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neoplanner_tpu.config import MapParams, PlannerParams, WorldParams
+from neoplanner_tpu.mapping import scene as scene_mod
+from neoplanner_tpu.ops import minco
+from neoplanner_tpu.plan import costs as costs_mod
+from neoplanner_tpu.plan import costs_pallas, expert
+from neoplanner_tpu.world import scenegen
+
+PP = PlannerParams(samples_per_piece=24)
+MAPP = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
+
+
+def _random_problem(key):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    head = jnp.zeros((3, 2)).at[0].set(jax.random.normal(k1, (2,))) \
+        .at[1].set(0.3 * jax.random.normal(k2, (2,)))
+    tail = jnp.zeros((3, 2)).at[0].set(
+        head[0] + jnp.array([5.0, 0.0]) + jax.random.normal(k3, (2,)))
+    q = expert.straight_line_wpts(head[0], tail[0], PP) \
+        + 0.5 * jax.random.normal(k4, (2, PP.num_wpts))
+    tau = minco.T_to_tau(expert.init_ts(PP), PP.t_min, PP.t_max)
+    return costs_mod.pack(q, tau, PP), head, tail
+
+
+def test_kernel_matches_objective():
+    world = scenegen.generate(jax.random.PRNGKey(7), WorldParams(num_boxes=10))
+    scene = scene_mod.build(world, MAPP)
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    xs, heads, tails = jax.vmap(_random_problem)(keys)
+
+    want = jax.vmap(lambda x, h, t: costs_mod.objective(x, h, t, scene, PP)
+                    )(xs, heads, tails)
+    got = jax.vmap(lambda x, h, t: costs_pallas.objective_fwd(
+        x, h, t, scene, PP, interpret=True))(xs, heads, tails)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_kernel_nested_vmap():
+    """env x candidate nesting collapses into one flat kernel batch."""
+    worlds = scenegen.generate_batch(jax.random.PRNGKey(1), 2,
+                                     WorldParams(num_boxes=6))
+    scenes = jax.vmap(lambda w: scene_mod.build(w, MAPP))(worlds)
+    keys = jax.random.split(jax.random.PRNGKey(2), 6).reshape(2, 3, 2)
+    xs, heads, tails = jax.vmap(jax.vmap(_random_problem))(keys)
+
+    got = jax.vmap(lambda sc, x2, h2, t2: jax.vmap(
+        lambda x, h, t: costs_pallas.objective_fwd(
+            x, h, t, sc, PP, interpret=True))(x2, h2, t2)
+    )(scenes, xs, heads, tails)
+    want = jax.vmap(lambda sc, x2, h2, t2: jax.vmap(
+        lambda x, h, t: costs_mod.objective(x, h, t, sc, PP))(x2, h2, t2)
+    )(scenes, xs, heads, tails)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_kernel_collision_term_active():
+    """A straight line through a box must produce a large objective (the
+    collision hinge fires identically in both implementations)."""
+    from neoplanner_tpu.core.types import SHAPE_BOX, BoxWorld
+
+    world = BoxWorld(centers=jnp.array([[3.0, 0.0, 3.0]]),
+                     half_sizes=jnp.array([[0.6, 0.6, 3.0]]),
+                     active=jnp.array([True]),
+                     shape=jnp.array([SHAPE_BOX]))
+    scene = scene_mod.build(world, MAPP)
+    head = jnp.zeros((3, 2))
+    tail = jnp.zeros((3, 2)).at[0, 0].set(6.0)
+    q = expert.straight_line_wpts(head[0], tail[0], PP)
+    x = costs_mod.pack(q, minco.T_to_tau(expert.init_ts(PP),
+                                         PP.t_min, PP.t_max), PP)
+    want = float(costs_mod.objective(x, head, tail, scene, PP))
+    got = float(costs_pallas.objective_fwd(x, head, tail, scene, PP,
+                                           interpret=True))
+    assert want > 100.0        # hinge active
+    np.testing.assert_allclose(got, want, rtol=5e-4)
