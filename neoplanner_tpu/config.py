@@ -184,6 +184,10 @@ class MapParams:
     # loop consumer tolerates (all compare against safe_dis <= 0.7) and cuts
     # the rebuild's min-plus pass by ~H/(2*radius/resolution)
     edt_truncation: float = 0.0
+    # depth-fusion backend: '2d' = per-column polar fusion in the projected
+    # plane (the TPU fast path — ~30x fewer scatter updates), '3d' = strided
+    # per-sample ray carving (shaped like octomap's per-ray insertion)
+    fusion: str = "2d"
 
 
 @dataclass(frozen=True)

@@ -81,6 +81,93 @@ def insert_depth(logodds: jnp.ndarray, depth: jnp.ndarray, pos: jnp.ndarray,
     return jnp.clip(logodds, l_min, l_max)
 
 
+def insert_depth_2d(logodds: jnp.ndarray, depth: jnp.ndarray,
+                    pos: jnp.ndarray, quat: jnp.ndarray, cam: CameraParams,
+                    mp: MapParams, carve_samples: int = 48) -> jnp.ndarray:
+    """Projected-plane depth fusion: one polar ray per image column.
+
+    The 3-D strided carving of :func:`insert_depth` costs (H/2 x W/2) rays x
+    48 samples of scatter-adds per frame — ~118M serialized scatter updates
+    per 512-env frame batch, the measured bottleneck of the whole vision loop
+    (BASELINE.md round 2). Since the planner only ever consumes the *projected*
+    2-D occupancy (the reference's `projected_map`, binarized at esdf.py:23),
+    fusion can run directly in that plane: every image column collapses to
+
+      r_hit(u)   — nearest in-slice hit range (the visible obstacle surface),
+      r_carve(u) — how far the column's rays traverse the z-slice before the
+                   nearest obstacle (slab-clipped against [z_min, z_max]),
+
+    and the update becomes W polar rays x carve_samples cells: ~30x fewer
+    scatters for the same projected map. Differences vs the 3-D version, both
+    harmless to the loop: cells behind obstacles that tall-passing rays would
+    carve stay unknown (unknown binarizes to free anyway), and only the
+    nearest hit per column marks occupancy (the visible surface). Column
+    azimuth is taken at the middle row — exact for level flight, cm-level at
+    this controller's tilt envelope.
+    """
+    l_hit = _l(mp.prob_hit)
+    l_miss = _l(mp.prob_miss)
+    l_min = _l(mp.clamp_min)
+    l_max = _l(mp.clamp_max)
+    BIG = 1e9
+
+    from neoplanner_tpu.core import frames
+
+    dirs_body = raycast.ray_dirs_camera(cam)               # (H, W, 3)
+    dirs = frames.quat_rotate(quat[None, None, :], dirs_body)
+    t_end = depth / jnp.maximum(dirs_body[..., 0], 1e-6)   # ray length
+    dz = dirs[..., 2]
+    hnorm = jnp.linalg.norm(dirs[..., :2], axis=-1)
+
+    # slab-clip each ray against the occupancy slice z in [z_min, z_max]
+    dz_safe = jnp.where(jnp.abs(dz) < 1e-6, 1e-6, dz)
+    tz1 = (mp.z_min - pos[2]) / dz_safe
+    tz2 = (mp.z_max - pos[2]) / dz_safe
+    t_lo = jnp.minimum(tz1, tz2)
+    t_hi = jnp.maximum(tz1, tz2)
+    level = jnp.abs(dz) < 1e-6
+    inside = (pos[2] >= mp.z_min) & (pos[2] <= mp.z_max)
+    t_hi = jnp.where(level, jnp.where(inside, BIG, -1.0), t_hi)
+    t_lo = jnp.where(level, 0.0, t_lo)
+    # rays that enter the slice right away can carve (camera inside the slice)
+    can_carve = t_lo <= 1e-3
+
+    hit = depth < cam.max_range - 1e-4
+    end_z = pos[2] + t_end * dz
+    end_in_slice = (end_z >= mp.z_min) & (end_z <= mp.z_max)
+
+    r_end = t_end * hnorm                                   # horizontal range
+    r_hit_px = jnp.where(hit & end_in_slice, r_end, BIG)
+    r_hit_col = jnp.min(r_hit_px, axis=0)                   # (W,)
+
+    r_free_px = jnp.where(can_carve, jnp.minimum(t_end, t_hi) * hnorm, 0.0)
+    r_carve_col = jnp.minimum(jnp.max(r_free_px, axis=0), r_hit_col)  # (W,)
+
+    mid = dirs[dirs_body.shape[0] // 2, :, :2]              # (W, 2)
+    u_dir = mid / jnp.maximum(jnp.linalg.norm(mid, axis=-1, keepdims=True),
+                              1e-9)
+
+    # carve: W polar rays, fixed sample count, stop one cell short
+    fr = (jnp.arange(carve_samples) + 0.5) / carve_samples
+    r_s = fr[:, None] * jnp.maximum(r_carve_col - mp.resolution, 0.0)[None, :]
+    cx = pos[0] + r_s * u_dir[None, :, 0]
+    cy = pos[1] + r_s * u_dir[None, :, 1]
+    row, col, inb = _cell_idx(cx, cy, mp)
+    w_miss = (inb & (r_s > 0)).astype(logodds.dtype) * l_miss
+    logodds = logodds.at[jnp.clip(row, 0, mp.height - 1),
+                         jnp.clip(col, 0, mp.width - 1)].add(w_miss)
+
+    # hits: the nearest in-slice hit per column
+    hx = pos[0] + r_hit_col * u_dir[:, 0]
+    hy = pos[1] + r_hit_col * u_dir[:, 1]
+    hrow, hcol, hinb = _cell_idx(hx, hy, mp)
+    w_hit = (hinb & (r_hit_col < BIG)).astype(logodds.dtype) * l_hit
+    logodds = logodds.at[jnp.clip(hrow, 0, mp.height - 1),
+                         jnp.clip(hcol, 0, mp.width - 1)].add(w_hit)
+
+    return jnp.clip(logodds, l_min, l_max)
+
+
 def to_occupancy(logodds: jnp.ndarray, mp: MapParams) -> jnp.ndarray:
     """Binarized occupancy (the reference binarizes projected_map at p=100,
     treating unknown as free — esdf.py:23). Unknown (log-odds 0) -> free."""

@@ -324,8 +324,10 @@ def fuse_frame(state: EnvState, mapp: MapParams, cam: CameraParams
     Sensor-rate fusion interleaves this with tracking substeps."""
     depth = raycast.render_depth(state.world, state.drone.pos, state.drone.quat,
                                  cam)
-    logodds = occupancy.insert_depth(state.logodds, depth, state.drone.pos,
-                                     state.drone.quat, cam, mapp)
+    insert = (occupancy.insert_depth_2d if mapp.fusion == "2d"
+              else occupancy.insert_depth)
+    logodds = insert(state.logodds, depth, state.drone.pos,
+                     state.drone.quat, cam, mapp)
     return state.replace(logodds=logodds)
 
 

@@ -163,3 +163,35 @@ def test_vision_closed_loop():
     assert float(jnp.sum(state.emap.occupancy)) > 0  # it mapped something
     # no collision en route: collision term of the metric stays ~0
     assert float(state.metrics[2]) < 1e-3
+
+
+def test_insert_depth_2d_matches_3d_projection():
+    """Per-column polar fusion builds the same projected map as the strided
+    3-D carving wherever the 3-D map is *known*: identical occupied surface,
+    identical free corridor (the 2-D form may leave more cells unknown behind
+    obstacles, which binarizes to free either way)."""
+    mapp = MapParams(width=128, height=96, origin_x=-2.0, origin_y=-4.8)
+    world = single_box_world(center=(4.0, 0.0, 2.0), half=(0.5, 1.0, 2.0))
+    quat = frames.quat_identity()
+    lo3 = occupancy.logodds_init(mapp)
+    lo2 = occupancy.logodds_init(mapp)
+    for y in (-1.0, 0.0, 1.0):
+        pos = jnp.array([0.0, y, 2.0])
+        depth = raycast.render_depth(world, pos, quat, CAM)
+        lo3 = occupancy.insert_depth(lo3, depth, pos, quat, CAM, mapp)
+        lo2 = occupancy.insert_depth_2d(lo2, depth, pos, quat, CAM, mapp)
+    occ3 = np.asarray(occupancy.to_occupancy(lo3, mapp))
+    occ2 = np.asarray(occupancy.to_occupancy(lo2, mapp))
+
+    # the visible front face is occupied in both
+    front_col = int((3.5 - mapp.origin_x) / mapp.resolution)
+    rows = slice(int((-0.8 + 4.8) / 0.1), int((0.8 + 4.8) / 0.1))
+    assert occ2[rows, front_col:front_col + 2].sum() >= 10
+    # the free corridor is carved free (not merely unknown) in both
+    mid_col = int((2.0 - mapp.origin_x) / mapp.resolution)
+    mid_row = int((0.0 + 4.8) / mapp.resolution)
+    assert occ2[mid_row - 3:mid_row + 3, mid_col - 3:mid_col + 3].sum() == 0
+    assert np.asarray(lo2)[mid_row, mid_col] < 0
+    # no cell occupied in 2d that 3d considers carved-free (surface agreement)
+    conflict = (occ2 > 0.5) & (np.asarray(lo3) < -0.5)
+    assert conflict.sum() == 0
