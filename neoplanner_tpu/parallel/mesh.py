@@ -29,6 +29,33 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "env") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_multislice_mesh(n_devices: Optional[int] = None, dcn: int = 1,
+                         mdl: int = 1,
+                         axes: Sequence[str] = ("dcn", "dp", "mdl")) -> Mesh:
+    """(dcn, dp, mdl) mesh for multi-slice scale-out (SURVEY §2.6 'DCN for
+    multi-slice later'). The outermost ``dcn`` axis is the slice axis: shard
+    the env batch over ("dcn", "dp") and only scalar metric/gradient
+    all-reduces cross slice boundaries (those ride DCN; everything else stays
+    slice-local over ICI). ``mdl`` is the tensor axis for PlannerNet kernels.
+    On real multi-slice hardware order devices slice-major so the dcn axis
+    aligns with the physical slice boundary; the CPU dryrun factorizes the
+    virtual device list the same way."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % (dcn * mdl):
+        raise ValueError(f"{n} devices do not factor into dcn={dcn} x dp x "
+                         f"mdl={mdl}")
+    dp = n // (dcn * mdl)
+    return Mesh(np.array(devices).reshape(dcn, dp, mdl), tuple(axes))
+
+
+def shard_batch_multislice(tree: Any, mesh: Mesh) -> Any:
+    """Shard a batched pytree's leading axis over (dcn, dp) jointly."""
+    return jax.device_put(tree, NamedSharding(mesh, P(("dcn", "dp"))))
+
+
 def shard_batch(tree: Any, mesh: Mesh, axis: str = "env") -> Any:
     """Place an env-batched pytree with its leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis))

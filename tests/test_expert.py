@@ -151,3 +151,29 @@ def test_env_batched_plan():
     t0 = float(trajs.costs[0] @ w)
     t1 = float(trajs.costs[1] @ w)
     assert t1 <= t0 + 1e-3
+
+
+def test_adaptive_piece_count():
+    """'adaptive' init mode (expert_planner.py:87-90): M scales with straight
+    distance at ~2 m per intermediate waypoint; the adaptive plan still solves
+    a far goal the fixed M=3 envelope can't span in time (3 pieces x 5 s at
+    1 m/s < 25 m)."""
+    from neoplanner_tpu.plan.expert import adaptive_num_pieces, plan_adaptive
+
+    assert adaptive_num_pieces([0.0, 0.0], [3.0, 0.0]) == 2   # min 1 wpt
+    assert adaptive_num_pieces([0.0, 0.0], [10.0, 0.0]) == 5
+    assert adaptive_num_pieces([0.0, 0.0], [24.0, 0.0]) == 12
+
+    pp = PlannerParams(max_iters=96, retry_num=2, extra_lateral_scales=())
+    emap = esdf.build(jnp.zeros((120, 160)).at[60, 80].set(1.0),
+                      jnp.array([-2.0, -6.0]), 0.1)
+    head = jnp.zeros((3, 2)).at[1, 0].set(0.5)
+    tail = jnp.zeros((3, 2)).at[0].set(jnp.array([24.0, 0.0]))
+    traj = plan_adaptive(emap, head, tail, jax.random.PRNGKey(0), pp)
+    assert traj.int_wpts.shape == (2, 11)
+    assert bool(traj.ok)
+    # the trajectory physically reaches the goal
+    import numpy as np
+    from neoplanner_tpu.ops import minco
+    end = minco.eval_at(traj.coeffs, traj.ts, jnp.sum(traj.ts), 0)
+    np.testing.assert_allclose(np.asarray(end), [24.0, 0.0], atol=0.05)

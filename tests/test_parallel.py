@@ -60,3 +60,30 @@ def test_replicate():
     x = pmesh.replicate(jnp.arange(6.0), mesh)
     assert len(x.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(x), np.arange(6.0))
+
+
+def test_multislice_mesh_segment_step():
+    """(dcn=2, dp=2, mdl=2) mesh: the env batch shards over (dcn, dp) jointly
+    and the sharded segment matches the unsharded one — the multi-slice
+    (DCN) layout of SURVEY §2.6, on the virtual 8-device harness."""
+    mesh = pmesh.make_multislice_mesh(8, dcn=2, mdl=2)
+    assert mesh.shape == {"dcn": 2, "dp": 2, "mdl": 2}
+    B = 8
+
+    worlds = scenegen.generate_batch(jax.random.PRNGKey(3), B, WP)
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+    states = jax.vmap(lambda k, w: env.reset(k, w, None, PP, MP, MAPP))(
+        keys, worlds)
+    sharded = pmesh.shard_batch_multislice(states, mesh)
+    # the env axis spans dcn x dp = 4 device groups (replicated over mdl)
+    assert len(sharded.drone.pos.sharding.device_set) == 8
+
+    @jax.jit
+    def step_all(s):
+        return jax.vmap(lambda x: env.step_segment(
+            x, PP, MP, SP, mission_mode="random", plan_map="scene")[0])(s)
+
+    out = step_all(sharded)
+    ref = step_all(states)
+    np.testing.assert_allclose(np.asarray(out.drone.pos),
+                               np.asarray(ref.drone.pos), atol=5e-2)
