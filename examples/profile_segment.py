@@ -39,13 +39,16 @@ def mem_mb():
 
 
 def timeit(fn, *args, reps=3, warmup=1):
+    # fetch-forced: block_until_ready can return at enqueue under the axon
+    # tunnel (CLAUDE.md measurement rule) — reduce to a scalar and fetch
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(np.asarray(jnp.sum(leaf)))
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        fetch(fn(*args))
     t0 = time.time()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        fetch(fn(*args))
     return (time.time() - t0) / reps
 
 

@@ -42,10 +42,12 @@ def main():
             os.path.abspath(__file__))), "artifacts", "planner_net_smallconv"))
     cam = CameraParams(width=np_cfg.img_width, height=np_cfg.img_height)
     pp = PlannerParams(max_iters=24, samples_per_piece=24, retry_num=2,
-                       extra_lateral_scales=())
+                       extra_lateral_scales=(),
+                       esdf_interp=os.environ.get("VIS_INTERP", "mxu"))
     mp, sp = MissionParams(), SimParams()
     mapp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6,
-                     edt_truncation=trunc)
+                     edt_truncation=trunc,
+                     fusion=os.environ.get("VIS_FUSION", "2d"))
     wp = WorldParams(num_boxes=10)
 
     worlds = scenegen.generate_batch(jax.random.PRNGKey(0), B, wp)
@@ -80,6 +82,59 @@ def main():
     done = int(np.asarray(s.missions_done).sum())
     ok = int(np.asarray(s.missions_ok).sum())
     print(f"missions: {ok}/{done} ok (after {K + 41} segments)", flush=True)
+
+    if os.environ.get("VIS_BREAKDOWN", "1") != "1":
+        return
+
+    # ---- per-stage wall times at this batch
+    import time as _t
+
+    def timeit(fn, *args, reps=3):
+        def fetch(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return float(np.asarray(jnp.sum(leaf)))
+        fetch(fn(*args))
+        t0 = _t.time()
+        for _ in range(reps):
+            fetch(fn(*args))
+        return (_t.time() - t0) / reps
+
+    from neoplanner_tpu.sense import raycast
+    from neoplanner_tpu.mapping import occupancy
+
+    @jax.jit
+    def render_only(s):
+        return jax.vmap(lambda x: raycast.render_depth(
+            x.world, x.drone.pos, x.drone.quat, cam))(s)
+
+    print(f"render only: {timeit(render_only, s)*1e3:.1f} ms", flush=True)
+
+    @jax.jit
+    def fuse_only(s):
+        return jax.vmap(lambda x: env.fuse_frame(x, mapp, cam).logodds)(s)
+
+    print(f"render+fuse only: {timeit(fuse_only, s)*1e3:.1f} ms", flush=True)
+
+    @jax.jit
+    def edt_only(s):
+        return jax.vmap(lambda x: env.rebuild_esdf(x, mapp).emap.esdf)(s)
+
+    print(f"edt rebuild only: {timeit(edt_only, s)*1e3:.1f} ms", flush=True)
+
+    @jax.jit
+    def plan_only(s):
+        return jax.vmap(lambda x: env._replan(
+            x, pp, mp, "neo", net_vars, np_cfg, cam, "grid")[0].int_wpts)(s)
+
+    print(f"plan(neo on grid) only: {timeit(plan_only, s)*1e3:.1f} ms",
+          flush=True)
+
+    @jax.jit
+    def track_only(s):
+        return jax.vmap(lambda x: env._track_segment(
+            x, x.buffer[:60], pp, mp, sp, "grid")[0].pos)(s)
+
+    print(f"track only: {timeit(track_only, s)*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -78,3 +78,37 @@ def test_collision_and_occupancy(rng):
         r, c = oracle.index(p)
         want_occ = bool(oracle.occ[r, c]) if (0 <= r < 40 and 0 <= c < 56) else False
         assert bool(occ[i]) == want_occ
+
+
+def test_mxu_sampling_matches_bilinear():
+    """The gather-free MXU formulation equals bilinear sampling to bf16
+    precision (values and gradients), on a truncated field."""
+    from neoplanner_tpu.ops import edt as edt_ops
+
+    rng = np.random.default_rng(3)
+    occ = (rng.random((96, 128)) < 0.06).astype(np.float32)
+    dist = edt_ops.edt_truncated(jnp.array(occ), 0.1, 2.0)
+    gy, gx = edt_ops.central_gradient(dist, 0.1)
+    emap = esdf.ESDFMap(occupancy=jnp.array(occ), esdf=dist, grad_x=gx,
+                        grad_y=gy, origin=jnp.array([-1.0, -2.0]),
+                        resolution=jnp.asarray(0.1))
+
+    pts = jnp.array(rng.uniform([-0.8, -1.8], [11.0, 7.0], (64, 2)),
+                    dtype=jnp.float32)
+    want_d, want_g = esdf.sample_bilinear(emap, pts)
+    got_d, got_g = esdf.sample_bilinear_mxu(emap, pts)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               atol=0.3)  # grads are O(1); bf16 taps ~1e-2/res
+
+    # autodiff of the sampled distance w.r.t. position matches too
+    def d_bil(p):
+        return esdf.sample_bilinear(emap, p)[0].sum()
+
+    def d_mxu(p):
+        return esdf.sample_bilinear_mxu(emap, p)[0].sum()
+
+    g_b = jax.grad(d_bil)(pts)
+    g_m = jax.grad(d_mxu)(pts)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_b), atol=0.3)
