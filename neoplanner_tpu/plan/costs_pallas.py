@@ -1,19 +1,24 @@
-"""Fused forward-only MINCO objective as one Pallas TPU kernel.
+"""Fused MINCO objective (value and value+gradient) as Pallas TPU kernels.
 
 Why this exists: profiling (examples/profile_lbfgs.py, BASELINE.md round 2)
-showed the L-BFGS wall time is dominated by the *line-search forward
-evaluations* — 8 of the ~10 cost evaluations per iteration need no gradient,
-yet each XLA evaluation is a ~300-op chain (banded solve, basis einsums,
-scene-SDF min, hinge penalties) whose per-op HBM traffic and dispatch depth
-cost ~0.75 ms at 3k lanes. This kernel computes the entire objective
-(plan/costs.objective with sampling='relative' on the analytic SceneMap
-backend) for a 512-lane tile in ONE program: build A(T), Givens-solve,
-Gauss-Legendre energy, sampled velocity/collision penalties, weighted sum.
+showed the L-BFGS wall time is dominated by cost evaluations — each XLA
+evaluation is a ~300-op chain (banded solve, basis einsums, scene-SDF min,
+hinge penalties) whose per-op dispatch depth and HBM traffic cost ~0.75 ms at
+3k lanes, and the reverse-mode pass roughly doubles it. Two kernels compute
+the whole thing per 512-lane tile:
 
-It is used ONLY where no gradient is needed (the line-search candidates in
-ops/lbfgs.minimize); the accept-point value_and_grad stays on the autodiff
-path, so optimizer math is unchanged — tests/test_costs_pallas.py asserts the
-kernel equals costs.objective to f32 roundoff.
+- ``objective_fwd``     — value only, for the line-search candidates
+  (no gradient is ever needed there);
+- ``objective_valgrad`` — value + analytic gradient in one program, for the
+  accept-point evaluation. The adjoint follows the reference's hand-derived
+  gradient exactly (expert_planner.py:345-537): direct penalty terms, the
+  transposed banded solve lam = A^-T df/dc (:503), b-row extraction for
+  waypoints, dA/dT via the beta-shift identity d beta_k / dT = beta_{k+1},
+  and the tau chain T = tmin + (tmax-tmin) sigmoid(tau).
+
+Both match the autodiff path (plan/costs.objective with sampling='relative'
+on the analytic SceneMap backend) to f32 roundoff —
+tests/test_costs_pallas.py asserts value AND gradient golden equality.
 
 Batching: jax.custom_vmap recursion collapses any env x lane x candidate
 nesting into one flat kernel batch (same pattern as ops/minco_pallas.py).
@@ -28,8 +33,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-import numpy as np
 
 from neoplanner_tpu.config import PlannerParams
 from neoplanner_tpu.mapping import scene as scene_map
@@ -66,130 +69,164 @@ def _powers(t, n=6):
     return out
 
 
-def _make_kernel(M, D, K, t_min, t_max, v_max, safe_dis,
-                 w_e, w_t, w_f, w_c, n_prims):
-    """Kernel for a (7, NB) decision tile -> (1, NB) objective values.
+# ---------------------------------------------------------------------------
+# in-kernel helpers (operate on traced values; called during kernel tracing)
+# ---------------------------------------------------------------------------
 
-    Layout (lanes last): x_ref (D*(M-1)+M, NB); head/tail (3*D, NB) flattened
-    row-major [pos; vel; acc]; prims (n_prims*6, NB).
-    """
-    assert D == 2, "kernel specialized to planar trajectories"
+def _system_entries(M, x_ref, head_ref, tail_ref, Ts, zero, one):
+    """A entries {(r, c): (NB,)} and rhs {r: [(NB,)] * D} of the MINCO system
+    (build_system row layout, ops/minco.py)."""
+    F = _FALLING
+    D = 2
+    nw = M - 1
+    n = 6 * M
+    A = {}
+    rhs = {}
+    for k in range(3):
+        A[(k, k)] = one * float(F[k][k])
+        rhs[k] = [head_ref[k * D + d] for d in range(D)]
+    for i in range(M - 1):
+        p = _powers(Ts[i])
+        c0 = 6 * i
+        base = 6 * i + 3
+        ks = [0, 0, 1, 2, 3, 4]
+        for rr, k in enumerate(ks):
+            r = base + rr
+            for j in range(k, 6):
+                A[(r, c0 + j)] = float(F[k][j]) * p[j - k]
+            if rr >= 1:
+                A[(r, c0 + 6 + (rr - 1))] = one * float(-F[rr - 1][rr - 1])
+        rhs[base] = [x_ref[i], x_ref[nw + i]]
+    p = _powers(Ts[M - 1])
+    cl = n - 6
+    for k in range(3):
+        r = n - 3 + k
+        for j in range(k, 6):
+            A[(r, cl + j)] = float(F[k][j]) * p[j - k]
+        rhs[r] = [tail_ref[k * D + d] for d in range(D)]
+    return A, rhs
+
+
+def _solve_entries(A, rhs, n, D, lower_bw, fill, zero):
+    """Assemble rows from sparse entries, Givens-rotate, back-substitute.
+    Returns xs: list of n values, each (D, NB)."""
+    rows = []
+    for r in range(n):
+        cols = [A.get((r, c), zero) for c in range(n)]
+        cols.extend(rhs.get(r, [zero] * D))
+        rows.append(jnp.stack(cols))                    # (n + D, NB)
+    for c in range(n):
+        for r in range(c + 1, min(c + lower_bw + 1, n)):
+            a_cc = rows[c][c]
+            a_rc = rows[r][c]
+            denom = jnp.sqrt(a_cc * a_cc + a_rc * a_rc)
+            safe = denom > 1e-20
+            inv = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+            cs = jnp.where(safe, a_cc * inv, 1.0)
+            sn = a_rc * inv
+            rc_, rr_ = rows[c], rows[r]
+            rows[c] = cs[None, :] * rc_ + sn[None, :] * rr_
+            rows[r] = cs[None, :] * rr_ - sn[None, :] * rc_
+    xs = [None] * n
+    for c in range(n - 1, -1, -1):
+        acc = rows[c][n:]
+        for j in range(c + 1, min(c + fill + 1, n)):
+            acc = acc - rows[c][j][None, :] * xs[j]
+        xs[c] = acc / rows[c][c][None, :]
+    return xs
+
+
+def _scene_min_dist(prims_ref, n_prims, px, py, with_grad):
+    """Min footprint SDF over prims at (S, NB) points; optionally its spatial
+    gradient at the argmin primitive (mapping/scene.sample semantics)."""
+    dis = jnp.full_like(px, _FAR)
+    gx = jnp.zeros_like(px) if with_grad else None
+    gy = jnp.zeros_like(px) if with_grad else None
+    for kprim in range(n_prims):
+        cx = prims_ref[kprim * 6 + 0][None, :]
+        cy = prims_ref[kprim * 6 + 1][None, :]
+        hx = prims_ref[kprim * 6 + 2][None, :]
+        hy = prims_ref[kprim * 6 + 3][None, :]
+        is_cyl = prims_ref[kprim * 6 + 4][None, :] > 0.5
+        active = prims_ref[kprim * 6 + 5][None, :] > 0.5
+        dx = px - cx
+        dy = py - cy
+        qx = jnp.abs(dx) - hx
+        qy = jnp.abs(dy) - hy
+        qxp = jnp.maximum(qx, 0.0)
+        qyp = jnp.maximum(qy, 0.0)
+        nrm = jnp.sqrt(qxp * qxp + qyp * qyp)
+        d_box = nrm + jnp.minimum(jnp.maximum(qx, qy), 0.0)
+        r = jnp.sqrt(dx * dx + dy * dy)
+        d_cyl = r - hx
+        dk = jnp.where(is_cyl, d_cyl, d_box)
+        dk = jnp.where(active, dk, _FAR)
+        better = dk < dis
+        if with_grad:
+            inv_n = 1.0 / jnp.maximum(nrm, 1e-9)
+            gbx = jnp.sign(dx) * qxp * inv_n
+            gby = jnp.sign(dy) * qyp * inv_n
+            ax = (qy > qx)
+            gix = jnp.where(ax, 0.0, jnp.sign(dx))
+            giy = jnp.where(ax, jnp.sign(dy), 0.0)
+            outside = nrm > 1e-9
+            gx_box = jnp.where(outside, gbx, gix)
+            gy_box = jnp.where(outside, gby, giy)
+            inv_r = 1.0 / jnp.maximum(r, 1e-9)
+            gxk = jnp.where(is_cyl, dx * inv_r, gx_box)
+            gyk = jnp.where(is_cyl, dy * inv_r, gy_box)
+            gx = jnp.where(better, gxk, gx)
+            gy = jnp.where(better, gyk, gy)
+        dis = jnp.where(better, dk, dis)
+    if with_grad:
+        return dis, gx, gy
+    return dis
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _make_kernels(M, D, K, t_min, t_max, v_max, safe_dis,
+                  w_e, w_t, w_f, w_c, n_prims):
+    """Returns (fwd_kernel, valgrad_kernel) for a (nv, NB) decision tile.
+    Layout (lanes last): x_ref (D*(M-1)+M, NB); head/tail (3*D, NB) row-major
+    [pos; vel; acc]; prims (n_prims*6, NB)."""
+    assert D == 2, "kernels specialized to planar trajectories"
+    F = _FALLING
     n = 6 * M
     nw = M - 1
-    F = _FALLING  # (6, 6) static numpy
+    S = M * K
 
-    def kernel(x_ref, head_ref, tail_ref, prims_ref, out_ref):
-        # ---- durations: T = tmin + (tmax - tmin) * sigmoid(tau)
+    def common_fwd(x_ref, head_ref, tail_ref, prims_ref, with_grad):
+        sig = []
         Ts = []
         for m in range(M):
-            tau = x_ref[D * nw + m]                     # (NB,)
-            Ts.append(t_min + (t_max - t_min) / (1.0 + jnp.exp(-tau)))
-
+            tau = x_ref[D * nw + m]
+            s = 1.0 / (1.0 + jnp.exp(-tau))
+            sig.append(s)
+            Ts.append(t_min + (t_max - t_min) * s)
         zero = jnp.zeros_like(Ts[0])
         one = jnp.ones_like(Ts[0])
 
-        # ---- assemble the banded system rows (build_system row layout)
-        width = n + D
-        rows = []
+        A, rhs = _system_entries(M, x_ref, head_ref, tail_ref, Ts, zero, one)
+        xs = _solve_entries(A, rhs, n, D, 4, 6, zero)   # xs[col] = (D, NB)
+        # coeffs[m][j][d]
+        coeffs = [[[xs[6 * m + j][d] for d in range(D)] for j in range(6)]
+                  for m in range(M)]
 
-        def make_row(entries, rhs):
-            """entries: {col: (NB,) value}; rhs: list of D (NB,) values."""
-            cols = []
-            for c in range(n):
-                cols.append(entries.get(c, zero))
-            cols.extend(rhs)
-            return jnp.stack(cols)                      # (width, NB)
-
-        # initial pos/vel/acc of piece 0 at t=0
-        for k in range(3):
-            rows.append(make_row({k: one * float(F[k][k])},
-                                 [head_ref[k * D + d] for d in range(D)]))
-        # joints: waypoint pin + C^0..C^4 continuity at t=T_i
-        for i in range(M - 1):
-            p = _powers(Ts[i])
-            c0 = 6 * i
-
-            def beta_entries(k, _p=p, _c0=c0):
-                ent = {}
-                for j in range(k, 6):
-                    ent[_c0 + j] = float(F[k][j]) * _p[j - k]
-                return ent
-
-            qx = x_ref[i]            # q[0, i] (x of wpt i)
-            qy = x_ref[nw + i]       # q[1, i]
-            rows.append(make_row(beta_entries(0), [qx, qy]))
-            for k in range(5):
-                ent = beta_entries(k)
-                ent[c0 + 6 + k] = one * float(-F[k][k])
-                rows.append(make_row(ent, [zero, zero]))
-        # final pos/vel/acc of the last piece at t=T_{M-1}
-        p = _powers(Ts[M - 1])
-        cl = n - 6
-        for k in range(3):
-            ent = {cl + j: float(F[k][j]) * p[j - k] for j in range(k, 6)}
-            rows.append(make_row(ent, [tail_ref[k * D + d] for d in range(D)]))
-
-        # ---- banded Givens QR + back substitution (lower 4, fill 6)
-        for c in range(n):
-            for r in range(c + 1, min(c + 5, n)):
-                a_cc = rows[c][c]
-                a_rc = rows[r][c]
-                denom = jnp.sqrt(a_cc * a_cc + a_rc * a_rc)
-                safe = denom > 1e-20
-                inv = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
-                cs = jnp.where(safe, a_cc * inv, 1.0)
-                sn = a_rc * inv
-                rc_, rr_ = rows[c], rows[r]
-                rows[c] = cs[None, :] * rc_ + sn[None, :] * rr_
-                rows[r] = cs[None, :] * rr_ - sn[None, :] * rc_
-        xs = [None] * n
-        for c in range(n - 1, -1, -1):
-            acc = rows[c][n:]                           # (D, NB)
-            for j in range(c + 1, min(c + 7, n)):
-                acc = acc - rows[c][j][None, :] * xs[j]
-            xs[c] = acc / rows[c][c][None, :]
-        # coeffs[m][j] = (D, NB)
-        coeffs = [[xs[6 * m + j] for j in range(6)] for m in range(M)]
-
-        # ---- energy: 3-point GL quadrature of ||jerk||^2 per piece
-        energy = zero
-        for m in range(M):
-            for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
-                t = Ts[m] * node
-                pw = _powers(t, 3)                      # t^0..t^2
-                jerk = 0.0
-                jerk_sq = zero
-                jx = zero
-                jy = zero
-                for j in range(3, 6):
-                    fac = float(F[3][j])
-                    jx = jx + fac * pw[j - 3] * coeffs[m][j][0]
-                    jy = jy + fac * pw[j - 3] * coeffs[m][j][1]
-                jerk_sq = jx * jx + jy * jy
-                energy = energy + wq * Ts[m] * jerk_sq
-                del jerk
-
-        # ---- total time
-        time_cost = zero
-        for m in range(M):
-            time_cost = time_cost + Ts[m]
-
-        # ---- sampled penalties, vectorized over the S = M*K sample axis
-        # (sample fractions/trapezoid weights come from an in-kernel iota:
-        # pallas_call forbids captured non-scalar constants)
-        S = M * K
+        # sample arrays (S, NB)
         T_all = jnp.concatenate(
             [jnp.broadcast_to(Ts[m][None, :], (K, Ts[m].shape[0]))
-             for m in range(M)])                               # (S, NB)
+             for m in range(M)])
         k_idx = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-                 % K).astype(jnp.float32)                      # (S, 1)
-        frac_all = k_idx / (K - 1)
+                 % K).astype(jnp.float32)
+        frac = k_idx / (K - 1)
         omg = jnp.where((k_idx == 0) | (k_idx == K - 1), 0.5, 1.0)
-        w_all = omg * T_all / (K - 1)                          # (S, NB)
-        t_s = T_all * frac_all                                 # (S, NB)
-        pw = _powers(t_s)                                       # 6 x (S, NB)
+        w_all = omg * T_all / (K - 1)
+        t_s = T_all * frac
+        pw = _powers(t_s)
 
-        # per-sample coefficients: piece m's coeff broadcast over its K rows
         def c_rep(j, d):
             return jnp.concatenate(
                 [jnp.broadcast_to(coeffs[m][j][d][None, :],
@@ -199,6 +236,8 @@ def _make_kernel(M, D, K, t_min, t_max, v_max, safe_dis,
         py = 0.0
         vx = 0.0
         vy = 0.0
+        ax = 0.0
+        ay = 0.0
         for j in range(6):
             cj_x = c_rep(j, 0)
             cj_y = c_rep(j, 1)
@@ -208,49 +247,195 @@ def _make_kernel(M, D, K, t_min, t_max, v_max, safe_dis,
                 f1 = float(F[1][j])
                 vx = vx + f1 * pw[j - 1] * cj_x
                 vy = vy + f1 * pw[j - 1] * cj_y
+            if with_grad and j >= 2:
+                f2 = float(F[2][j])
+                ax = ax + f2 * pw[j - 2] * cj_x
+                ay = ay + f2 * pw[j - 2] * cj_y
 
-        # velocity feasibility: sum w * max(|v|^2 - vmax^2, 0)^3
+        return (sig, Ts, zero, one, A, xs, coeffs, T_all, frac, omg, w_all,
+                t_s, pw, px, py, vx, vy, ax, ay)
+
+    def fwd_value(state, prims_ref):
+        (sig, Ts, zero, one, A, xs, coeffs, T_all, frac, omg, w_all,
+         t_s, pw, px, py, vx, vy, ax, ay) = state
+        # energy (3-pt GL per piece)
+        energy = zero
+        for m in range(M):
+            for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
+                t = Ts[m] * node
+                pw3 = _powers(t, 3)
+                jx = zero
+                jy = zero
+                for j in range(3, 6):
+                    fac = float(F[3][j])
+                    jx = jx + fac * pw3[j - 3] * coeffs[m][j][0]
+                    jy = jy + fac * pw3[j - 3] * coeffs[m][j][1]
+                energy = energy + wq * Ts[m] * (jx * jx + jy * jy)
+        time_cost = zero
+        for m in range(M):
+            time_cost = time_cost + Ts[m]
         vv = vx * vx + vy * vy - v_max * v_max
         hv = jnp.maximum(vv, 0.0)
-        feas = jnp.sum(w_all * hv * hv * hv, axis=0)            # (NB,)
-
-        # collision: min over prims of the footprint SDF at (px, py)
-        dis = jnp.full_like(px, _FAR)
-        for kprim in range(n_prims):
-            cx = prims_ref[kprim * 6 + 0][None, :]
-            cy = prims_ref[kprim * 6 + 1][None, :]
-            hx = prims_ref[kprim * 6 + 2][None, :]
-            hy = prims_ref[kprim * 6 + 3][None, :]
-            is_cyl = prims_ref[kprim * 6 + 4][None, :]
-            active = prims_ref[kprim * 6 + 5][None, :]
-            dx = px - cx
-            dy = py - cy
-            qx = jnp.abs(dx) - hx
-            qy = jnp.abs(dy) - hy
-            qxp = jnp.maximum(qx, 0.0)
-            qyp = jnp.maximum(qy, 0.0)
-            box_out = jnp.sqrt(qxp * qxp + qyp * qyp)
-            box_in = jnp.minimum(jnp.maximum(qx, qy), 0.0)
-            d_box = box_out + box_in
-            r2 = dx * dx + dy * dy
-            d_cyl = jnp.sqrt(r2) - hx
-            dk = jnp.where(is_cyl > 0.5, d_cyl, d_box)
-            dk = jnp.where(active > 0.5, dk, _FAR)
-            dis = jnp.minimum(dis, dk)
+        feas = jnp.sum(w_all * hv * hv * hv, axis=0)
+        dis = _scene_min_dist(prims_ref, n_prims, px, py, False)
         hc = jnp.maximum(safe_dis - dis, 0.0)
-        coll = jnp.sum(w_all * hc * hc * hc, axis=0)            # (NB,)
+        coll = jnp.sum(w_all * hc * hc * hc, axis=0)
+        f = w_e * energy + w_t * time_cost + w_f * feas + w_c * coll
+        return f
 
-        out_ref[0] = (w_e * energy + w_t * time_cost + w_f * feas
-                      + w_c * coll)
+    def fwd_kernel(x_ref, head_ref, tail_ref, prims_ref, out_ref):
+        state = common_fwd(x_ref, head_ref, tail_ref, prims_ref, False)
+        out_ref[0] = fwd_value(state, prims_ref)
 
-    return kernel
+    def valgrad_kernel(x_ref, head_ref, tail_ref, prims_ref, f_ref, g_ref):
+        (sig, Ts, zero, one, A, xs, coeffs, T_all, frac, omg, w_all,
+         t_s, pw, px, py, vx, vy, ax, ay) = common_fwd(
+            x_ref, head_ref, tail_ref, prims_ref, True)
+
+        # ---- forward values + per-sample hinge activations
+        energy = zero
+        Tbar = [zero for _ in range(M)]   # df/dT accumulators
+        # energy value and its direct T chain:
+        #   E_m = sum_g wq * T * ||j(T nu)||^2
+        #   dE/dT = sum_g wq (||j||^2 + T * 2 j . s * nu), s = d jerk/dt
+        for m in range(M):
+            for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
+                t = Ts[m] * node
+                pw3 = _powers(t, 3)
+                jx = zero
+                jy = zero
+                sx = zero
+                sy = zero
+                for j in range(3, 6):
+                    f3 = float(F[3][j])
+                    jx = jx + f3 * pw3[j - 3] * coeffs[m][j][0]
+                    jy = jy + f3 * pw3[j - 3] * coeffs[m][j][1]
+                    if j >= 4:
+                        f4 = float(F[4][j])
+                        sx = sx + f4 * pw3[j - 4] * coeffs[m][j][0]
+                        sy = sy + f4 * pw3[j - 4] * coeffs[m][j][1]
+                jsq = jx * jx + jy * jy
+                energy = energy + wq * Ts[m] * jsq
+                Tbar[m] = Tbar[m] + w_e * wq * (
+                    jsq + Ts[m] * 2.0 * (jx * sx + jy * sy) * node)
+
+        time_cost = zero
+        for m in range(M):
+            time_cost = time_cost + Ts[m]
+            Tbar[m] = Tbar[m] + w_t
+
+        vv = vx * vx + vy * vy - v_max * v_max
+        hv = jnp.maximum(vv, 0.0)
+        hv2 = hv * hv
+        feas = jnp.sum(w_all * hv * hv2, axis=0)
+
+        dis, gsx, gsy = _scene_min_dist(prims_ref, n_prims, px, py, True)
+        hc = jnp.maximum(safe_dis - dis, 0.0)
+        hc2 = hc * hc
+        coll = jnp.sum(w_all * hc * hc2, axis=0)
+
+        f_ref[0] = (w_e * energy + w_t * time_cost + w_f * feas + w_c * coll)
+
+        # ---- adjoint
+        # per-sample cotangents w.r.t. position/velocity (weights folded in)
+        e_s = w_f * w_all * 3.0 * hv2          # d feas / d vv
+        pvx = e_s * 2.0 * vx                   # d feas / d vx
+        pvy = e_s * 2.0 * vy
+        g_s = w_c * w_all * 3.0 * hc2          # d coll / d hc  (hc = safe-dis)
+        ppx = -g_s * gsx                       # d coll / d px
+        ppy = -g_s * gsy
+
+        # weight/time T chains of the sampled terms:
+        #   d(w)/dT = omg/(K-1) * hinge^3;   d(term)/dt_s * frac
+        #   d pos/dt = vel, d vel/dt = acc, d dis/dt = grad . vel
+        dT_samp = (omg / (K - 1)) * (w_f * hv * hv2 + w_c * hc * hc2) \
+            + (ppx * vx + ppy * vy + pvx * ax + pvy * ay) * frac
+        for m in range(M):
+            Tbar[m] = Tbar[m] + jnp.sum(dT_samp[m * K:(m + 1) * K], axis=0)
+
+        # cotangent of the coefficients: cbar[m][j][d]
+        # energy part: dE/dc[m][j][d] = sum_g w_e wq T 2 j_d F3[j] t^{j-3}
+        cbar = [[[zero for _ in range(D)] for _ in range(6)]
+                for _ in range(M)]
+        for m in range(M):
+            for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
+                t = Ts[m] * node
+                pw3 = _powers(t, 3)
+                jx = zero
+                jy = zero
+                for j in range(3, 6):
+                    f3 = float(F[3][j])
+                    jx = jx + f3 * pw3[j - 3] * coeffs[m][j][0]
+                    jy = jy + f3 * pw3[j - 3] * coeffs[m][j][1]
+                scale = w_e * wq * Ts[m] * 2.0
+                for j in range(3, 6):
+                    f3 = float(F[3][j])
+                    cbar[m][j][0] = cbar[m][j][0] + scale * jx * f3 * pw3[j - 3]
+                    cbar[m][j][1] = cbar[m][j][1] + scale * jy * f3 * pw3[j - 3]
+        # sampled parts: pos_d = sum_j t^j c, vel_d = sum_j F1[j] t^{j-1} c
+        for m in range(M):
+            sl = slice(m * K, (m + 1) * K)
+            for j in range(6):
+                wpos_x = jnp.sum(ppx[sl] * pw[j][sl], axis=0)
+                wpos_y = jnp.sum(ppy[sl] * pw[j][sl], axis=0)
+                cbar[m][j][0] = cbar[m][j][0] + wpos_x
+                cbar[m][j][1] = cbar[m][j][1] + wpos_y
+                if j >= 1:
+                    f1 = float(F[1][j])
+                    cbar[m][j][0] = cbar[m][j][0] + f1 * jnp.sum(
+                        pvx[sl] * pw[j - 1][sl], axis=0)
+                    cbar[m][j][1] = cbar[m][j][1] + f1 * jnp.sum(
+                        pvy[sl] * pw[j - 1][sl], axis=0)
+
+        # transposed banded solve: lam = A^-T cbar  (expert_planner.py:503)
+        AT = {(c, r): v for (r, c), v in A.items()}
+        rhsT = {}
+        for col in range(n):
+            m, j = divmod(col, 6)
+            rhsT[col] = [cbar[m][j][d] for d in range(D)]
+        lam = _solve_entries(AT, rhsT, n, D, 2, 6, zero)  # lam[row] = (D, NB)
+
+        # waypoint gradients: qbar[d][i] = lam[6i+3][d] (b-row cotangent)
+        for i in range(M - 1):
+            g_ref[i] = lam[6 * i + 3][0]
+            g_ref[nw + i] = lam[6 * i + 3][1]
+
+        # Abar = -lam x^T chain into T via d beta_k / dT = beta_{k+1}
+        def add_dA(m, rows_ks, c0):
+            p = _powers(Ts[m])
+            acc = zero
+            for r, k in rows_ks:
+                for j in range(k + 1, 6):
+                    dA = float(F[k + 1][j]) * p[j - k - 1]
+                    lx = (lam[r][0] * xs[c0 + j][0]
+                          + lam[r][1] * xs[c0 + j][1])
+                    acc = acc - dA * lx
+            return acc
+
+        for i in range(M - 1):
+            base = 6 * i + 3
+            rows_ks = [(base, 0), (base + 1, 0), (base + 2, 1),
+                       (base + 3, 2), (base + 4, 3), (base + 5, 4)]
+            Tbar[i] = Tbar[i] + add_dA(i, rows_ks, 6 * i)
+        rows_ks = [(n - 3 + k, k) for k in range(3)]
+        Tbar[M - 1] = Tbar[M - 1] + add_dA(M - 1, rows_ks, n - 6)
+
+        # tau chain
+        for m in range(M):
+            g_ref[D * nw + m] = Tbar[m] * (t_max - t_min) * sig[m] \
+                * (1.0 - sig[m])
+
+    return fwd_kernel, valgrad_kernel
 
 
-def _objective_batch(x, head, tail, prims, statics, interpret):
-    """x (N, nv), head/tail (N, 3, D), prims (N, K, 6) -> f (N,)."""
-    (M, D, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f, w_c) = statics
+# ---------------------------------------------------------------------------
+# host-side plumbing: padding, transposes, custom_vmap collapse
+# ---------------------------------------------------------------------------
+
+def _prep(x, head, tail, prims):
     N = x.shape[0]
     nv = x.shape[1]
+    D = head.shape[2]
     n_prims = prims.shape[1]
     pad = (-N) % _NB
     if pad:
@@ -259,38 +444,93 @@ def _objective_batch(x, head, tail, prims, statics, interpret):
         tail = jnp.concatenate([tail, jnp.zeros((pad,) + tail.shape[1:])])
         prims = jnp.concatenate([prims, jnp.zeros((pad,) + prims.shape[1:])])
     Np = x.shape[0]
-    x_t = x.T.astype(jnp.float32)                                  # (nv, Np)
-    head_t = head.reshape(Np, 3 * D).T.astype(jnp.float32)
-    tail_t = tail.reshape(Np, 3 * D).T.astype(jnp.float32)
-    prims_t = prims.reshape(Np, n_prims * 6).T.astype(jnp.float32)
+    return (x.T.astype(jnp.float32),
+            head.reshape(Np, 3 * D).T.astype(jnp.float32),
+            tail.reshape(Np, 3 * D).T.astype(jnp.float32),
+            prims.reshape(Np, n_prims * 6).T.astype(jnp.float32),
+            N, Np, nv, D, n_prims)
 
-    kernel = _make_kernel(M, D, K, t_min, t_max, v_max, safe_dis,
-                          w_e, w_t, w_f, w_c, n_prims)
+
+def _specs(nv, D, n_prims):
+    return [
+        pl.BlockSpec((nv, _NB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * D, _NB), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * D, _NB), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_prims * 6, _NB), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _cost(statics, n_prims, Np, grad):
+    M, D, K = statics[0], statics[1], statics[2]
     S = M * K
-    flops_per = 6 * M * 30 + 4 * 6 * M * 9 + S * (12 + n_prims * 15)
+    per = 6 * M * 40 + S * (15 + n_prims * 18)
+    if grad:
+        per *= 3
+    return pl.CostEstimate(flops=per * Np,
+                           bytes_accessed=(2 * 7 + 12 + n_prims * 6) * 4 * Np,
+                           transcendentals=M * Np)
+
+
+def _objective_batch(x, head, tail, prims, statics, interpret):
+    """x (N, nv) ... -> f (N,)."""
+    x_t, head_t, tail_t, prims_t, N, Np, nv, D, n_prims = _prep(
+        x, head, tail, prims)
+    fwd_kernel, _ = _make_kernels(*statics, n_prims)
     out = pl.pallas_call(
-        kernel,
+        fwd_kernel,
         grid=(Np // _NB,),
-        in_specs=[
-            pl.BlockSpec((nv, _NB), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * D, _NB), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * D, _NB), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_prims * 6, _NB), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_specs(nv, D, n_prims),
         out_specs=pl.BlockSpec((1, _NB), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per * Np,
-            bytes_accessed=(nv + 12 + n_prims * 6 + 1) * 4 * Np,
-            transcendentals=M * Np),
+        cost_estimate=_cost(statics, n_prims, Np, False),
     )(x_t, head_t, tail_t, prims_t)
     return out[0, :N]
+
+
+def _valgrad_batch(x, head, tail, prims, statics, interpret):
+    """x (N, nv) ... -> (f (N,), g (N, nv))."""
+    x_t, head_t, tail_t, prims_t, N, Np, nv, D, n_prims = _prep(
+        x, head, tail, prims)
+    _, valgrad_kernel = _make_kernels(*statics, n_prims)
+    f, g = pl.pallas_call(
+        valgrad_kernel,
+        grid=(Np // _NB,),
+        in_specs=_specs(nv, D, n_prims),
+        out_specs=(
+            pl.BlockSpec((1, _NB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, _NB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((1, Np), jnp.float32),
+                   jax.ShapeDtypeStruct((nv, Np), jnp.float32)),
+        interpret=interpret,
+        cost_estimate=_cost(statics, n_prims, Np, True),
+    )(x_t, head_t, tail_t, prims_t)
+    return f[0, :N], g.T[:N]
+
+
+def _collapse_rule(fn):
+    def rule(axis_size, in_batched, *args):
+        flat = []
+        inner_n = None
+        for a, b in zip(args, in_batched):
+            if not b:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            if inner_n is None:
+                inner_n = a.shape[1]
+            flat.append(a.reshape((-1,) + a.shape[2:]))
+        out = fn(*flat)
+        if isinstance(out, tuple):
+            return tuple(o.reshape((axis_size, inner_n) + o.shape[1:])
+                         for o in out), (True,) * len(out)
+        return out.reshape((axis_size, inner_n) + out.shape[1:]), True
+    return rule
 
 
 @functools.lru_cache(maxsize=None)
@@ -299,20 +539,18 @@ def _flat_objective(statics, n_prims, interpret):
     def obj_flat(x, head, tail, prims):
         return _objective_batch(x, head, tail, prims, statics, interpret)
 
-    @obj_flat.def_vmap
-    def _rule(axis_size, in_batched, x, head, tail, prims):
-        args = []
-        inner_n = None
-        for a, b in zip((x, head, tail, prims), in_batched):
-            if not b:
-                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
-            if inner_n is None:
-                inner_n = a.shape[1]
-            args.append(a.reshape((-1,) + a.shape[2:]))
-        out = obj_flat(*args)                        # (axis_size * inner_n,)
-        return out.reshape(axis_size, inner_n), True
-
+    obj_flat.def_vmap(_collapse_rule(obj_flat))
     return obj_flat
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_valgrad(statics, n_prims, interpret):
+    @jax.custom_batching.custom_vmap
+    def vg_flat(x, head, tail, prims):
+        return _valgrad_batch(x, head, tail, prims, statics, interpret)
+
+    vg_flat.def_vmap(_collapse_rule(vg_flat))
+    return vg_flat
 
 
 def objective_fwd(x: jnp.ndarray, head_state: jnp.ndarray,
@@ -328,3 +566,51 @@ def objective_fwd(x: jnp.ndarray, head_state: jnp.ndarray,
     prims = pack_prims(scene)
     fn = _flat_objective(_static(pp), prims.shape[0], interpret)
     return fn(x[None], head_state[None], tail_state[None], prims[None])[0]
+
+
+def objective_valgrad(x: jnp.ndarray, head_state: jnp.ndarray,
+                      tail_state: jnp.ndarray, scene: scene_map.SceneMap,
+                      pp: PlannerParams, interpret: bool = False):
+    """(value, gradient) of the fused objective — the analytic adjoint in the
+    same kernel (reference hand gradient, expert_planner.py:345-537). Use via
+    :func:`objective_vjp` when jax.grad/value_and_grad must see it."""
+    assert pp.sampling == "relative", "kernel implements relative sampling"
+    prims = pack_prims(scene)
+    fn = _flat_valgrad(_static(pp), prims.shape[0], interpret)
+    f, g = fn(x[None], head_state[None], tail_state[None], prims[None])
+    return f[0], g[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _vjp_objective(statics, n_prims, interpret):
+    """A custom_vjp scalar objective whose backward is the kernel gradient —
+    jax.value_and_grad of this hits the valgrad kernel once."""
+
+    @jax.custom_vjp
+    def obj(x, head, tail, prims):
+        fn = _flat_objective(statics, n_prims, interpret)
+        return fn(x[None], head[None], tail[None], prims[None])[0]
+
+    def fwd(x, head, tail, prims):
+        fn = _flat_valgrad(statics, n_prims, interpret)
+        f, g = fn(x[None], head[None], tail[None], prims[None])
+        return f[0], (g[0], head, tail, prims)
+
+    def bwd(res, ct):
+        g, head, tail, prims = res
+        return (g * ct, jnp.zeros_like(head), jnp.zeros_like(tail),
+                jnp.zeros_like(prims))
+
+    obj.defvjp(fwd, bwd)
+    return obj
+
+
+def objective_vjp(x: jnp.ndarray, head_state: jnp.ndarray,
+                  tail_state: jnp.ndarray, scene: scene_map.SceneMap,
+                  pp: PlannerParams, interpret: bool = False) -> jnp.ndarray:
+    """Kernel-backed objective differentiable w.r.t. x (only): value from the
+    forward kernel, gradient from the fused adjoint kernel."""
+    assert pp.sampling == "relative", "kernel implements relative sampling"
+    prims = pack_prims(scene)
+    return _vjp_objective(_static(pp), prims.shape[0], interpret)(
+        x, head_state, tail_state, prims)

@@ -93,18 +93,24 @@ def solve_one(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
         ls_parallel = is_scene
     else:
         ls_parallel = pp.ls_mode == "wide"
-    # line-search candidates need values only: on the TPU scene backend,
-    # evaluate them with the fused forward kernel (plan/costs_pallas.py) —
-    # profiling showed these forward evals dominate the solve wall time
+    # On the TPU scene backend the fused Pallas kernels evaluate the
+    # objective: line-search candidates via the forward-only kernel, the
+    # accept-point value_and_grad via the fused analytic-adjoint kernel
+    # (plan/costs_pallas.py) — profiling showed the XLA evaluation chains
+    # dominate the solve wall time. NEO_OBJ_BACKEND=xla keeps autodiff (A/B).
     ls_fun = None
     if (is_scene and pp.sampling == "relative"
             and jax.default_backend() == "tpu"):
         import os
-        if os.environ.get("NEO_LS_BACKEND", "pallas") != "xla":
+        backend = os.environ.get("NEO_OBJ_BACKEND",
+                                 os.environ.get("NEO_LS_BACKEND", "pallas"))
+        if backend != "xla":
             from neoplanner_tpu.plan import costs_pallas
             ls_fun = partial(costs_pallas.objective_fwd,
                              head_state=head_state, tail_state=tail_state,
                              scene=emap, pp=pp)
+            fun = partial(costs_pallas.objective_vjp, head_state=head_state,
+                          tail_state=tail_state, scene=emap, pp=pp)
     res = lbfgs.minimize(fun, x0, max_iters=pp.max_iters, history=pp.history,
                          max_ls=pp.max_ls, ftol=1e-10, gtol=1e-8,
                          ls_parallel=ls_parallel, ls_fun=ls_fun)

@@ -80,3 +80,62 @@ def test_kernel_collision_term_active():
                                            interpret=True))
     assert want > 100.0        # hinge active
     np.testing.assert_allclose(got, want, rtol=5e-4)
+
+
+def test_valgrad_kernel_matches_autodiff():
+    """The fused adjoint kernel's gradient equals jax.grad of the autodiff
+    objective (the reference hand-gradient equivalence, expert_planner.py:
+    345-537) to f32 roundoff, including active collision/feasibility hinges."""
+    from neoplanner_tpu.core.types import SHAPE_BOX, SHAPE_CYLINDER, BoxWorld
+
+    world = BoxWorld(
+        centers=jnp.array([[3.0, 0.3, 3.0], [6.0, -0.8, 3.0]]),
+        half_sizes=jnp.array([[0.6, 0.6, 3.0], [0.5, 0.5, 3.0]]),
+        active=jnp.array([True, True]),
+        shape=jnp.array([SHAPE_BOX, SHAPE_CYLINDER]))
+    scene = scene_mod.build(world, MAPP)
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 24)
+    xs, heads, tails = jax.vmap(_random_problem)(keys)
+    # push some lanes into collision so both hinges activate — NEAR the
+    # obstacles but off the SDF kinks (at a box center the min/sign
+    # subgradient tie-breaks differ legitimately between implementations)
+    xs = xs.at[::3, :2].set(jnp.array([3.47, 6.13]))
+    xs = xs.at[::3, 2:4].set(jnp.array([0.83, -0.37]))
+
+    def f_ref(x, h, t):
+        return costs_mod.objective(x, h, t, scene, PP)
+
+    want_f = jax.vmap(f_ref)(xs, heads, tails)
+    want_g = jax.vmap(jax.grad(f_ref))(xs, heads, tails)
+    got_f, got_g = jax.vmap(lambda x, h, t: costs_pallas.objective_valgrad(
+        x, h, t, scene, PP, interpret=True))(xs, heads, tails)
+
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=5e-4, atol=5e-4)
+    scale = np.maximum(np.abs(np.asarray(want_g)), 1.0)
+    np.testing.assert_allclose(np.asarray(got_g) / scale,
+                               np.asarray(want_g) / scale, atol=2e-3)
+
+
+def test_vjp_objective_value_and_grad():
+    """jax.value_and_grad over the custom_vjp wrapper hits the kernels and
+    agrees with autodiff (the form the L-BFGS loop consumes)."""
+    world = scenegen.generate(jax.random.PRNGKey(9), WorldParams(num_boxes=8))
+    scene = scene_mod.build(world, MAPP)
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    xs, heads, tails = jax.vmap(_random_problem)(keys)
+
+    def f_k(x, h, t):
+        return costs_pallas.objective_vjp(x, h, t, scene, PP, interpret=True)
+
+    def f_ref(x, h, t):
+        return costs_mod.objective(x, h, t, scene, PP)
+
+    fk, gk = jax.vmap(jax.value_and_grad(f_k))(xs, heads, tails)
+    fr, gr = jax.vmap(jax.value_and_grad(f_ref))(xs, heads, tails)
+    np.testing.assert_allclose(np.asarray(fk), np.asarray(fr),
+                               rtol=5e-4, atol=5e-4)
+    scale = np.maximum(np.abs(np.asarray(gr)), 1.0)
+    np.testing.assert_allclose(np.asarray(gk) / scale,
+                               np.asarray(gr) / scale, atol=2e-3)
