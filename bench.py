@@ -18,7 +18,8 @@ VPU-dominated f32 work; MFU is quoted against the v5e bf16 MXU peak, so it is
 a deliberately conservative utilization bound).
 
 Env knobs: BENCH_ENVS (default 4096), BENCH_SEGMENTS (default 6),
-BENCH_MAX_ITERS (default 24), BENCH_BREAKDOWN=0 to skip the stage programs.
+BENCH_MAX_ITERS (default 24), BENCH_MAX_LS (default 4; marathon-quality-equal
+to 8, measured), BENCH_BREAKDOWN=0 to skip the stage programs.
 """
 
 import json
@@ -60,6 +61,7 @@ def main():
     B = int(os.environ.get("BENCH_ENVS", 4096))
     K = int(os.environ.get("BENCH_SEGMENTS", 6))
     max_iters = int(os.environ.get("BENCH_MAX_ITERS", 24))
+    max_ls = int(os.environ.get("BENCH_MAX_LS", 4))
     breakdown = os.environ.get("BENCH_BREAKDOWN", "1") == "1"
     ckpt = os.environ.get(
         "BENCH_NET",
@@ -77,12 +79,13 @@ def main():
         cam = CameraParams(width=np_cfg.img_width, height=np_cfg.img_height)
         planner = "neo"
         pp = PlannerParams(max_iters=max_iters, samples_per_piece=24,
-                           retry_num=2, extra_lateral_scales=())
+                           retry_num=2, extra_lateral_scales=(),
+                           max_ls=max_ls)
     else:
         planner = "expert"
         pp = PlannerParams(max_iters=max_iters, samples_per_piece=24,
                            batch_num=3, extra_lateral_scales=(2.5, -2.5),
-                           retry_num=2)
+                           retry_num=2, max_ls=max_ls)
     mp = MissionParams()
     sp = SimParams()
     mapp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)

@@ -38,7 +38,9 @@ from neoplanner_tpu.config import PlannerParams
 from neoplanner_tpu.mapping import scene as scene_map
 from neoplanner_tpu.ops.minco import _FALLING
 
-_NB = 512
+import os as _os
+
+_NB = int(_os.environ.get("NEO_KERNEL_NB", "512"))  # lanes per program tile
 _FAR = 1e4
 
 # 3-point Gauss-Legendre on [0, 1] (ops/minco.energy)
