@@ -26,6 +26,13 @@ def main():
                     help="a Gazebo .world file (default: random boxes)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--net", default=None, help="checkpoint for nn/neo")
+    ap.add_argument("--replan-mode", default="periodic",
+                    choices=["periodic", "online", "global"],
+                    help="the reference's replan_mode rosparam "
+                         "(traj_planner_node.py:233-245)")
+    ap.add_argument("--fuse-frames", type=int, default=1,
+                    help="depth frames fused per segment (sensor-rate fusion; "
+                         "depth sensing only)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--max-segments", type=int, default=60)
     args = ap.parse_args()
@@ -62,16 +69,18 @@ def main():
 
     goal = jnp.array(args.goal)
     state = env.reset(jax.random.PRNGKey(args.seed), world, goal, pp, mp, mapp,
-                      start_pos=jnp.array(args.start), sensing=args.sensing)
+                      start_pos=jnp.array(args.start), sensing=args.sensing,
+                      plan_map=args.plan_map)
     step = jax.jit(env.step_segment, static_argnames=(
         "pp", "mp", "sp", "mission_mode", "sensing", "mapp", "cam", "planner",
-        "np_cfg", "plan_map"))
+        "np_cfg", "plan_map", "replan_mode", "fuse_frames"))
 
     t0 = time.time()
     path = []
     for seg in range(args.max_segments):
         state, info = step(state, pp, mp, sp, "manual", args.sensing, mapp, cam,
-                           args.planner, net_vars, np_cfg, args.plan_map)
+                           args.planner, net_vars, np_cfg, args.plan_map,
+                           args.replan_mode, args.fuse_frames)
         path.append(np.asarray(state.drone.pos[:2]))
         if bool(state.reached) or bool(state.failed):
             break
