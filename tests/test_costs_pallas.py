@@ -139,3 +139,30 @@ def test_vjp_objective_value_and_grad():
     scale = np.maximum(np.abs(np.asarray(gr)), 1.0)
     np.testing.assert_allclose(np.asarray(gk) / scale,
                                np.asarray(gr) / scale, atol=2e-3)
+
+
+def test_kernel_generic_piece_count():
+    """The kernels are generic in M (adaptive mode uses other piece counts):
+    golden check at M=5."""
+    import dataclasses
+
+    pp5 = dataclasses.replace(PP, num_pieces=5)
+    world = scenegen.generate(jax.random.PRNGKey(3), WorldParams(num_boxes=8))
+    scene = scene_mod.build(world, MAPP)
+    head = jnp.zeros((3, 2)).at[1, 0].set(0.5)
+    tail = jnp.zeros((3, 2)).at[0].set(jnp.array([12.0, 1.0]))
+    q = expert.straight_line_wpts(head[0], tail[0], pp5)
+    x = costs_mod.pack(q, minco.T_to_tau(expert.init_ts(pp5),
+                                         pp5.t_min, pp5.t_max), pp5)
+    want = float(costs_mod.objective(x, head, tail, scene, pp5))
+    got = float(costs_pallas.objective_fwd(x, head, tail, scene, pp5,
+                                           interpret=True))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    g_want = jax.grad(lambda xx: costs_mod.objective(
+        xx, head, tail, scene, pp5))(x)
+    _, g_got = costs_pallas.objective_valgrad(x, head, tail, scene, pp5,
+                                              interpret=True)
+    scale = np.maximum(np.abs(np.asarray(g_want)), 1.0)
+    np.testing.assert_allclose(np.asarray(g_got) / scale,
+                               np.asarray(g_want) / scale, atol=2e-3)
