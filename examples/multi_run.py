@@ -17,7 +17,7 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--planners", nargs="+", default=["expert", "warmstart"],
-                    choices=["expert", "warmstart", "nn", "neo"])
+                    choices=["expert", "warmstart", "geo", "nn", "neo"])
     ap.add_argument("--worlds", nargs="+", default=["0", "1", "2", "3"],
                     help="integer seeds for random worlds and/or .world paths "
                          "(the reference's poles/bricks/rand_world_N load "
@@ -56,17 +56,37 @@ def main():
 
     from neoplanner_tpu.world import worldio
 
-    records = []
-    rollers = {}   # one compiled rollout per planner, reused across worlds
-    B = args.repeats
+    # parse/generate every world first and size one common primitive capacity
+    # from the parsed counts (one capacity = one compile per planner; silently
+    # truncating to WorldParams.max_boxes dropped forest geometry in round 2)
+    loaded = []
     for wi, wname in enumerate(args.worlds):
         if str(wname).isdigit():
             wseed = int(wname)
             world = scenegen.generate(jax.random.PRNGKey(1000 + wseed), wp)
             world_label = f"rand_world_{wseed}"
         else:
-            world = worldio.parse_world(str(wname), max_boxes=wp.max_boxes)
+            world = worldio.parse_world(str(wname))
             world_label = os.path.splitext(os.path.basename(str(wname)))[0]
+        loaded.append((world, world_label))
+    cap = max(max(int(np.asarray(w.active).sum()) for w, _ in loaded), 8)
+    cap = (cap + 7) // 8 * 8
+
+    def with_capacity(world):
+        def fit(a):
+            if a.shape[0] >= cap:
+                return a[:cap]
+            pad = jnp.zeros((cap - a.shape[0],) + a.shape[1:], a.dtype)
+            return jnp.concatenate([a, pad])
+        # active prims are packed first, so slicing keeps all real geometry
+        assert int(np.asarray(world.active[cap:]).sum()) == 0
+        return jax.tree_util.tree_map(fit, world)
+
+    records = []
+    rollers = {}   # one compiled rollout per planner, reused across worlds
+    B = args.repeats
+    for wi, (world, world_label) in enumerate(loaded):
+        world = with_capacity(world)
         # nudge the goal to the nearest clear spot: with a fixed benchmark goal
         # some worlds place an obstacle on it, which fails every repeat for
         # every planner (goal-in-collision is correctly unplannable)
@@ -86,16 +106,20 @@ def main():
         assert goal is not None, f"no clear goal near {base_goal}"
 
         for planner in args.planners:
+            # the geo baseline's wavefront relaxes over grid cells, so it runs
+            # on the rasterized map (reference parity: geo_planner.py on the
+            # grid ESDF); everything else uses the analytic scene fast path
+            plan_map = "grid" if planner == "geo" else "scene"
             keys = jax.random.split(jax.random.PRNGKey(wi * 97 + 13), B)
             reset_b = jax.vmap(lambda k: env.reset(k, world, goal, pp, mp,
-                                                   mapp, plan_map="scene"))
+                                                   mapp, plan_map=plan_map))
             states = reset_b(keys)
             roll = rollers.get(planner)
             if roll is None:
                 roll = rollers[planner] = jax.jit(jax.vmap(
-                    lambda s, _p=planner: env.rollout(
+                    lambda s, _p=planner, _m=plan_map: env.rollout(
                         s, args.segments, pp, mp, sp, "manual", "gt", None,
-                        cam, _p, net_vars, np_cfg, "scene")))
+                        cam, _p, net_vars, np_cfg, _m)))
             # avg_planning_duration must record steady-state solves: warm the
             # compile (and any first-touch costs) before timing — the
             # reference's timing starts at an already-running node

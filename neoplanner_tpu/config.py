@@ -86,6 +86,12 @@ class PlannerParams:
     # 'bilinear' is the smooth default.
     esdf_interp: str = "bilinear"
 
+    # side length (cells) of the ESDF crop the fused grid-objective kernels
+    # keep in VMEM (plan/costs_pallas_grid.py): at 0.1 m/cell the default is
+    # a 9.6 m window — the local target is at most ~5.1 m from the plan
+    # start, so every multi-start candidate stays inside
+    kernel_window_cells: int = 96
+
     @property
     def num_wpts(self) -> int:
         return self.num_pieces - 1
@@ -184,9 +190,10 @@ class MapParams:
     # loop consumer tolerates (all compare against safe_dis <= 0.7) and cuts
     # the rebuild's min-plus pass by ~H/(2*radius/resolution)
     edt_truncation: float = 0.0
-    # depth-fusion backend: '2d' = per-column polar fusion in the projected
-    # plane (the TPU fast path — ~30x fewer scatter updates), '3d' = strided
-    # per-sample ray carving (shaped like octomap's per-ray insertion)
+    # depth-fusion backend: '2d_dense' = scatter-free polar window update as
+    # a Pallas kernel (mapping/occupancy_pallas.py, the TPU fast path);
+    # '2d' = per-column polar scatter fusion; '3d' = strided per-sample ray
+    # carving (shaped like octomap's per-ray insertion)
     fusion: str = "2d"
 
 

@@ -49,7 +49,7 @@ def record_rollout(state: env.EnvState, num_segments: int, pp: PlannerParams,
     exactly 'gt' sensing here.
     """
     def body(s, _):
-        depth = raycast.render_depth(s.world, s.drone.pos, s.drone.quat, cam)
+        depth = raycast.render_depth_auto(s.world, s.drone.pos, s.drone.quat, cam)
         s2, info = env.step_segment(s, pp, mp, sp, mission_mode="random",
                                     plan_map=plan_map)
         motion = data.motion_vector(info.drone, des_pos_z, info.plan_init,

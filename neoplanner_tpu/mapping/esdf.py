@@ -27,19 +27,34 @@ FAR = 1e4
 
 
 def build(occupancy: jnp.ndarray, origin, resolution,
-          max_dist: float = 0.0) -> ESDFMap:
+          max_dist: float = 0.0, lite: bool = False) -> ESDFMap:
     """occupancy (H, W) {0,1} -> ESDFMap with distance field and central-difference
     gradient (true per-meter units; see ops/edt.central_gradient docstring).
 
     max_dist > 0 builds a truncated field (exact below max_dist, clamped above
     — ops/edt.edt_truncated): loop-equivalent for every consumer that compares
     against safe_dis, at a fraction of the transform cost. 0 = exact transform
-    (reference parity, esdf.py:29)."""
+    (reference parity, esdf.py:29).
+
+    lite=True is the vision-loop memory profile: the distance field is stored
+    bf16 and the occupancy/gradient planes are (1, 1) dummies. No closed-loop
+    consumer reads them — the metric/escape/acceptance queries use
+    nearest-cell *distances* only, and the optimizer's gradients come from
+    the fused window kernels (costs_pallas_grid) or bilinear taps — so this
+    drops the per-env grid footprint ~3.3x, which is what capped vision-mode
+    batch at B=1024 in round 2 (BASELINE.md)."""
     occupancy = occupancy.astype(jnp.float32)
     if max_dist > 0.0:
         dist = edt_ops.edt_truncated(occupancy, resolution, max_dist)
     else:
         dist = edt_ops.edt(occupancy, resolution)
+    if lite:
+        return ESDFMap(
+            occupancy=jnp.zeros((1, 1)), esdf=dist.astype(jnp.bfloat16),
+            grad_x=jnp.zeros((1, 1)), grad_y=jnp.zeros((1, 1)),
+            origin=jnp.asarray(origin, dtype=jnp.float32),
+            resolution=jnp.asarray(resolution, dtype=jnp.float32),
+        )
     gy, gx = edt_ops.central_gradient(dist, resolution)
     return ESDFMap(
         occupancy=occupancy, esdf=dist, grad_x=gx, grad_y=gy,
@@ -79,7 +94,11 @@ def sample_nearest(emap: ESDFMap, pos: jnp.ndarray):
     col = jnp.floor(colf).astype(jnp.int32)
     inb = _in_bounds(emap, row, col)
 
-    d0 = jnp.where(inb, _gather(emap.esdf, row, col), FAR)
+    d0 = jnp.where(inb, _gather(emap.esdf, row, col).astype(jnp.float32), FAR)
+    if emap.grad_x.shape != emap.esdf.shape:
+        # lite map (no gradient planes, build(lite=True)): distance-only
+        # consumers (metric, escape, acceptance) take this path
+        return d0, jnp.zeros(pos.shape[:-1] + (2,))
     gx = jnp.where(inb, _gather(emap.grad_x, row, col), 0.0)
     gy = jnp.where(inb, _gather(emap.grad_y, row, col), 0.0)
     grad = jnp.stack([gx, gy], axis=-1)
@@ -108,10 +127,11 @@ def sample_bilinear(emap: ESDFMap, pos: jnp.ndarray):
     fr = u - r0
     fc = v - c0
 
-    d00 = _gather(emap.esdf, r0, c0)
-    d01 = _gather(emap.esdf, r0, c0 + 1)
-    d10 = _gather(emap.esdf, r0 + 1, c0)
-    d11 = _gather(emap.esdf, r0 + 1, c0 + 1)
+    field = emap.esdf.astype(jnp.float32)
+    d00 = _gather(field, r0, c0)
+    d01 = _gather(field, r0, c0 + 1)
+    d10 = _gather(field, r0 + 1, c0)
+    d11 = _gather(field, r0 + 1, c0 + 1)
 
     top = d00 * (1 - fc) + d01 * fc
     bot = d10 * (1 - fc) + d11 * fc
@@ -170,6 +190,28 @@ def sample_bilinear_mxu(emap: ESDFMap, pos: jnp.ndarray):
     return dis, grad
 
 
+def make_window(emap: ESDFMap, center: jnp.ndarray, cells: int):
+    """Static-size crop of the distance field around a world point, for the
+    fused grid-objective kernels (plan/costs_pallas_grid.py).
+
+    Returns (esdf (hw, ww) f32, origin (3,) = [x0, y0, resolution]). The crop
+    is clamped inside the map, so a window centered near a map edge slides
+    inward rather than shrinking (shapes stay static under jit)."""
+    H, W = emap.esdf.shape
+    hw = int(min(cells, H))
+    ww = int(min(cells, W))
+    rowf, colf = _cell_index(emap, center)
+    r0 = jnp.clip(jnp.round(rowf - hw / 2), 0, H - hw).astype(jnp.int32)
+    c0 = jnp.clip(jnp.round(colf - ww / 2), 0, W - ww).astype(jnp.int32)
+    esdf = jax.lax.dynamic_slice(emap.esdf, (r0, c0),
+                                 (hw, ww)).astype(jnp.float32)
+    origin = emap.origin + jnp.stack([c0, r0]).astype(jnp.float32) \
+        * emap.resolution
+    worg = jnp.concatenate([origin, jnp.reshape(
+        emap.resolution.astype(jnp.float32), (1,))])
+    return esdf, worg
+
+
 def sample(emap: ESDFMap, pos: jnp.ndarray, mode: str = "bilinear"):
     if mode == "nearest":
         return sample_nearest(emap, pos)
@@ -192,4 +234,7 @@ def is_occupied(emap: ESDFMap, pos: jnp.ndarray) -> jnp.ndarray:
     row = jnp.floor(rowf).astype(jnp.int32)
     col = jnp.floor(colf).astype(jnp.int32)
     inb = _in_bounds(emap, row, col)
+    if emap.occupancy.shape != emap.esdf.shape:
+        # lite map: EDT is exactly zero iff the cell is occupied
+        return jnp.where(inb, _gather(emap.esdf, row, col) <= 0.0, False)
     return jnp.where(inb, _gather(emap.occupancy, row, col) > 0.5, False)

@@ -81,36 +81,19 @@ def insert_depth(logodds: jnp.ndarray, depth: jnp.ndarray, pos: jnp.ndarray,
     return jnp.clip(logodds, l_min, l_max)
 
 
-def insert_depth_2d(logodds: jnp.ndarray, depth: jnp.ndarray,
-                    pos: jnp.ndarray, quat: jnp.ndarray, cam: CameraParams,
-                    mp: MapParams, carve_samples: int = 48) -> jnp.ndarray:
-    """Projected-plane depth fusion: one polar ray per image column.
+BIG = 1e9
 
-    The 3-D strided carving of :func:`insert_depth` costs (H/2 x W/2) rays x
-    48 samples of scatter-adds per frame — ~118M serialized scatter updates
-    per 512-env frame batch, the measured bottleneck of the whole vision loop
-    (BASELINE.md round 2). Since the planner only ever consumes the *projected*
-    2-D occupancy (the reference's `projected_map`, binarized at esdf.py:23),
-    fusion can run directly in that plane: every image column collapses to
 
-      r_hit(u)   — nearest in-slice hit range (the visible obstacle surface),
+def polar_columns(depth: jnp.ndarray, pos: jnp.ndarray, quat: jnp.ndarray,
+                  cam: CameraParams, mp: MapParams):
+    """Collapse a depth frame to the projected plane, per image column:
+
+      r_hit(u)   — nearest in-slice hit range (the visible obstacle surface)
       r_carve(u) — how far the column's rays traverse the z-slice before the
-                   nearest obstacle (slab-clipped against [z_min, z_max]),
+                   nearest obstacle (slab-clipped against [z_min, z_max])
+      u_dir(u)   — the column's horizontal world direction (mid-row azimuth)
 
-    and the update becomes W polar rays x carve_samples cells: ~30x fewer
-    scatters for the same projected map. Differences vs the 3-D version, both
-    harmless to the loop: cells behind obstacles that tall-passing rays would
-    carve stay unknown (unknown binarizes to free anyway), and only the
-    nearest hit per column marks occupancy (the visible surface). Column
-    azimuth is taken at the middle row — exact for level flight, cm-level at
-    this controller's tilt envelope.
-    """
-    l_hit = _l(mp.prob_hit)
-    l_miss = _l(mp.prob_miss)
-    l_min = _l(mp.clamp_min)
-    l_max = _l(mp.clamp_max)
-    BIG = 1e9
-
+    Shared by both 2-D fusion backends (scatter and dense)."""
     from neoplanner_tpu.core import frames
 
     dirs_body = raycast.ray_dirs_camera(cam)               # (H, W, 3)
@@ -146,6 +129,38 @@ def insert_depth_2d(logodds: jnp.ndarray, depth: jnp.ndarray,
     mid = dirs[dirs_body.shape[0] // 2, :, :2]              # (W, 2)
     u_dir = mid / jnp.maximum(jnp.linalg.norm(mid, axis=-1, keepdims=True),
                               1e-9)
+    return r_hit_col, r_carve_col, u_dir
+
+
+def insert_depth_2d(logodds: jnp.ndarray, depth: jnp.ndarray,
+                    pos: jnp.ndarray, quat: jnp.ndarray, cam: CameraParams,
+                    mp: MapParams, carve_samples: int = 48) -> jnp.ndarray:
+    """Projected-plane depth fusion: one polar ray per image column.
+
+    The 3-D strided carving of :func:`insert_depth` costs (H/2 x W/2) rays x
+    48 samples of scatter-adds per frame — ~118M serialized scatter updates
+    per 512-env frame batch, the measured bottleneck of the whole vision loop
+    (BASELINE.md round 2). Since the planner only ever consumes the *projected*
+    2-D occupancy (the reference's `projected_map`, binarized at esdf.py:23),
+    fusion can run directly in that plane: every image column collapses to
+
+      r_hit(u)   — nearest in-slice hit range (the visible obstacle surface),
+      r_carve(u) — how far the column's rays traverse the z-slice before the
+                   nearest obstacle (slab-clipped against [z_min, z_max]),
+
+    and the update becomes W polar rays x carve_samples cells: ~30x fewer
+    scatters for the same projected map. Differences vs the 3-D version, both
+    harmless to the loop: cells behind obstacles that tall-passing rays would
+    carve stay unknown (unknown binarizes to free anyway), and only the
+    nearest hit per column marks occupancy (the visible surface). Column
+    azimuth is taken at the middle row — exact for level flight, cm-level at
+    this controller's tilt envelope.
+    """
+    l_hit = _l(mp.prob_hit)
+    l_miss = _l(mp.prob_miss)
+    l_min = _l(mp.clamp_min)
+    l_max = _l(mp.clamp_max)
+    r_hit_col, r_carve_col, u_dir = polar_columns(depth, pos, quat, cam, mp)
 
     # carve: W polar rays, fixed sample count, stop one cell short
     fr = (jnp.arange(carve_samples) + 0.5) / carve_samples

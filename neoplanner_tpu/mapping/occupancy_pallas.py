@@ -1,0 +1,198 @@
+"""Scatter-free depth fusion: dense polar window update as a Pallas kernel.
+
+The 2-D polar fusion (occupancy.insert_depth_2d) still scatters
+carve_samples x W cells per frame; TPU scatters serialize, making fusion
+~43 ms per 512-env frame (round-3 profile) — the dominant vision-loop stage
+at sensor-rate cadence. This kernel inverts the update: instead of walking
+rays and scattering, every cell of a max_range-sized window around the
+camera computes its own polar coordinates (range, image column) and tests
+itself against the per-column tables from occupancy.polar_columns:
+
+    carve:  r_cell < r_carve(u_cell) - res        -> + l_miss
+    hit:    |r_cell - r_hit(u_cell)| <= res/2     -> + l_hit
+
+The per-cell column lookup is a `take_along_axis` on the (W,) tables, which
+Mosaic lowers to `tpu.dynamic_gather` — no scatters, no one-hot weights, no
+HBM temporaries. Differences vs the scatter form, both benign: the carve
+marks *every* cell inside the carve radius (the 48-sample scatter ray skips
+cells beyond 4.8 m — the dense form is strictly more faithful to
+octomap_server's per-cell traversal), and a hit may mark the 1-2 cells whose
+centers fall within half a cell of the surface rather than exactly one
+(polar rasterization vs point scatter). tests/test_sense.py pins IoU between
+the two forms.
+
+The column index comes from the camera-frame tangent (no trig):
+ray_dirs_camera maps column u to body azimuth tan(beta) = -(u+0.5-W/2)/fx,
+so a cell at camera-frame offset (dcx, dcy) lands at
+u = W/2 - 0.5 - fx * dcy/dcx. Azimuths use the camera-forward yaw (the
+mid-row azimuth the scatter form uses — exact for level flight).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neoplanner_tpu.config import CameraParams, MapParams
+from neoplanner_tpu.core import frames
+from neoplanner_tpu.mapping import occupancy
+
+_E_B = 8   # envs per program
+
+
+def _make_kernel(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss, l_min,
+                 l_max):
+    def kernel(win_ref, tabs_ref, sc_ref, out_ref):
+        iota_r = jax.lax.broadcasted_iota(jnp.float32, (ch, Wt), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.float32, (ch, Wt), 1)
+        for e in range(E_b):
+            ox = sc_ref[e, 0]
+            oy = sc_ref[e, 1]
+            px = sc_ref[e, 2]
+            py = sc_ref[e, 3]
+            cp = sc_ref[e, 4]
+            sp = sc_ref[e, 5]
+            dx = ox + iota_c * res - px              # (ch, Wt)
+            dy = oy + iota_r * res - py
+            dcx = cp * dx + sp * dy                  # camera-frame forward
+            dcy = -sp * dx + cp * dy                 # camera-frame left
+            r_cell = jnp.sqrt(dx * dx + dy * dy)
+            u = Wcam / 2.0 - 0.5 - fx * dcy / jnp.maximum(dcx, 1e-6)
+            uidx = jnp.round(u).astype(jnp.int32)
+            valid = (dcx > 1e-6) & (uidx >= 0) & (uidx <= Wcam - 1) \
+                & (iota_c < cw)
+            uq = jnp.clip(uidx, 0, Wt - 1)
+            tab_h = jnp.broadcast_to(tabs_ref[e, 0:1, :], (ch, Wt))
+            tab_c = jnp.broadcast_to(tabs_ref[e, 1:2, :], (ch, Wt))
+            rhit = jnp.take_along_axis(tab_h, uq, axis=1)
+            rcarve = jnp.take_along_axis(tab_c, uq, axis=1)
+            upd = jnp.where(
+                valid & (r_cell > 0.0) & (r_cell < rcarve - res),
+                l_miss, 0.0)
+            upd = upd + jnp.where(
+                valid & (rhit < occupancy.BIG)
+                & (jnp.abs(r_cell - rhit) <= 0.5 * res), l_hit, 0.0)
+            out_ref[e] = jnp.clip(win_ref[e] + upd[:, :cw], l_min, l_max)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _fuse_call(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss, l_min, l_max,
+               interpret):
+    kernel = _make_kernel(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss,
+                          l_min, l_max)
+
+    def call(wins, tabs, sc):
+        E = wins.shape[0]
+        ep = E + ((-E) % E_b)
+        if ep != E:
+            wins = jnp.concatenate(
+                [wins, jnp.zeros((ep - E, ch, cw), wins.dtype)])
+            tabs = jnp.concatenate(
+                [tabs, jnp.zeros((ep - E, 2, Wt), tabs.dtype)])
+            sc = jnp.concatenate([sc, jnp.zeros((ep - E, 8), sc.dtype)])
+        out = pl.pallas_call(
+            kernel,
+            grid=(ep // E_b,),
+            in_specs=[
+                pl.BlockSpec((E_b, ch, cw), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E_b, 2, Wt), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E_b, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((E_b, ch, cw), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ep, ch, cw), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=ep * ch * Wt * 25,
+                bytes_accessed=ep * (2 * ch * cw + 2 * Wt + 8) * 4,
+                transcendentals=ep * ch * Wt),
+        )(wins.astype(jnp.float32), tabs.astype(jnp.float32),
+          sc.astype(jnp.float32))
+        return out[:E]
+
+    return call
+
+
+def _window_cells(cam: CameraParams, mp: MapParams):
+    c = 2 * int(math.ceil(cam.max_range / mp.resolution)) + 8
+    return min(c, mp.height), min(c, mp.width)
+
+
+def insert_depth_2d_dense(logodds: jnp.ndarray, depth: jnp.ndarray,
+                          pos: jnp.ndarray, quat: jnp.ndarray,
+                          cam: CameraParams, mp: MapParams,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Kernel-fused projected-plane depth fusion; single-env signature,
+    vmappable over envs (the kernel batches through custom_vmap collapse)."""
+    return _flat_fuse(cam, mp, interpret)(
+        logodds[None], depth[None], pos[None], quat[None])[0]
+
+
+def _fuse_flat(logodds, depth, pos, quat, cam: CameraParams, mp: MapParams,
+               interpret: bool):
+    E, H, W = logodds.shape
+    ch, cw = _window_cells(cam, mp)
+    Wt = max(cam.width, cw)
+
+    r_hit, r_carve, _ = jax.vmap(
+        lambda d, p, q: occupancy.polar_columns(d, p, q, cam, mp)
+    )(depth, pos, quat)
+    tabs = jnp.stack([r_hit, r_carve], axis=1)             # (E, 2, Wcam)
+    if Wt > cam.width:
+        tabs = jnp.pad(tabs, ((0, 0), (0, 0), (0, Wt - cam.width)),
+                       constant_values=occupancy.BIG)
+
+    # window extraction around each camera
+    row_d = (pos[:, 1] - mp.origin_y) / mp.resolution
+    col_d = (pos[:, 0] - mp.origin_x) / mp.resolution
+    r0 = jnp.clip(jnp.round(row_d - ch / 2), 0, H - ch).astype(jnp.int32)
+    c0 = jnp.clip(jnp.round(col_d - cw / 2), 0, W - cw).astype(jnp.int32)
+    wins = jax.vmap(lambda lo, r, c: jax.lax.dynamic_slice(
+        lo, (r, c), (ch, cw)))(logodds, r0, c0)
+
+    fwd = jax.vmap(lambda q: frames.quat_rotate(q, jnp.array([1.0, 0.0, 0.0]))
+                   )(quat)
+    psi = jnp.arctan2(fwd[:, 1], fwd[:, 0])
+    # window origin = world coords of its cell (0, 0) center
+    ox = mp.origin_x + (c0.astype(jnp.float32) + 0.5) * mp.resolution
+    oy = mp.origin_y + (r0.astype(jnp.float32) + 0.5) * mp.resolution
+    sc = jnp.stack([ox, oy, pos[:, 0], pos[:, 1], jnp.cos(psi),
+                    jnp.sin(psi), jnp.zeros_like(psi), jnp.zeros_like(psi)],
+                   axis=1)
+
+    call = _fuse_call(_E_B, ch, cw, Wt, cam.width, cam.fx, mp.resolution,
+                      occupancy._l(mp.prob_hit), occupancy._l(mp.prob_miss),
+                      occupancy._l(mp.clamp_min), occupancy._l(mp.clamp_max),
+                      interpret)
+    new_wins = call(wins, tabs, sc)
+    return jax.vmap(lambda lo, wn, r, c: jax.lax.dynamic_update_slice(
+        lo, wn, (r, c)))(logodds, new_wins, r0, c0)
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_fuse(cam: CameraParams, mp: MapParams, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def fuse_flat(logodds, depth, pos, quat):
+        return _fuse_flat(logodds, depth, pos, quat, cam, mp, interpret)
+
+    def rule(axis_size, in_batched, *args):
+        flat = []
+        for a, b in zip(args, in_batched):
+            if not b:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            flat.append(a.reshape((-1,) + a.shape[2:]))
+        out = fuse_flat(*flat)
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    fuse_flat.def_vmap(rule)
+    return fuse_flat

@@ -103,7 +103,12 @@ def edt_truncated(occupancy: jnp.ndarray, resolution, max_dist: float
     radius = max(1, int(math.ceil(max_dist / res)))
     occ = occupancy > 0.5
     g2 = jnp.minimum(_row_distance_sq(occ), jnp.float32((radius + 1) ** 2))
-    d2 = _pass2_banded(g2, radius)
+    H = occupancy.shape[0]
+    if jax.default_backend() == "tpu" and H % 8 == 0 and radius < H:
+        from neoplanner_tpu.ops import edt_pallas
+        d2 = edt_pallas.pass2_banded(g2, radius)
+    else:
+        d2 = _pass2_banded(g2, radius)
     d = jnp.sqrt(d2) * res
     return jnp.minimum(d, max_dist)
 

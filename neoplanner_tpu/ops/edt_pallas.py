@@ -53,6 +53,49 @@ def _pass2_kernel(g2_ref, out_ref):
     out_ref[:, :] = jax.lax.fori_loop(0, H // _KB, body, acc0)
 
 
+def _make_banded_kernel(radius: int, r2: float):
+    def kernel(g2p_ref, out_ref):
+        ib = pl.program_id(0)
+        i0 = ib * BLOCK_I
+        W = out_ref.shape[1]
+        acc = jnp.full((BLOCK_I, W), r2, dtype=jnp.float32)
+        for d in range(-radius, radius + 1):
+            g = g2p_ref[pl.ds(i0 + d + radius, BLOCK_I), :]
+            acc = jnp.minimum(acc, g + float(d * d))
+        out_ref[:, :] = acc
+
+    return kernel
+
+
+def pass2_banded(g2: jnp.ndarray, radius: int,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Banded min-plus over rows, clamped at radius² — the truncated-EDT
+    pass 2 (ops/edt._pass2_banded). The XLA form materializes each of the
+    2R+1 shifted (H, W) fields through HBM; here the whole (padded) slab sits
+    in VMEM and the min accumulates in registers, so the only HBM traffic is
+    one read of g2 and one write of the result per env."""
+    H, W = g2.shape
+    assert H % BLOCK_I == 0, H
+    r2 = float(radius * radius)
+    g2p = jnp.concatenate([
+        jnp.full((radius, W), 1e9, jnp.float32),
+        jnp.minimum(g2.astype(jnp.float32), r2),
+        jnp.full((radius, W), 1e9, jnp.float32)])
+    return pl.pallas_call(
+        _make_banded_kernel(radius, r2),
+        interpret=interpret,
+        grid=(H // BLOCK_I,),
+        in_specs=[pl.BlockSpec((H + 2 * radius, W), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BLOCK_I, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=2 * (2 * radius + 1) * H * W,
+                                      bytes_accessed=2 * H * W * 4,
+                                      transcendentals=0),
+    )(g2p)
+
+
 def pass2(g2: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """min-plus contraction over rows: (H, W) -> (H, W). H must be a multiple
     of BLOCK_I (mapping grids are; ops/edt.py pads otherwise)."""

@@ -17,8 +17,9 @@ the whole thing per 512-lane tile:
   and the tau chain T = tmin + (tmax-tmin) sigmoid(tau).
 
 Both match the autodiff path (plan/costs.objective with sampling='relative'
-on the analytic SceneMap backend) to f32 roundoff —
-tests/test_costs_pallas.py asserts value AND gradient golden equality.
+on the analytic SceneMap backend) — tests/test_costs_pallas.py asserts value
+golden equality at rtol/atol 5e-4 and gradient equality at 2e-3 on scaled
+gradients (f32 reassociation across the banded solve accounts for the gap).
 
 Batching: jax.custom_vmap recursion collapses any env x lane x candidate
 nesting into one flat kernel batch (same pattern as ops/minco_pallas.py).
@@ -186,246 +187,285 @@ def _scene_min_dist(prims_ref, n_prims, px, py, with_grad):
 
 
 # ---------------------------------------------------------------------------
-# kernels
+# shared MINCO kernel machinery (used by the scene kernels below AND the
+# grid-backend kernels in plan/costs_pallas_grid.py — the two backends differ
+# only in how the collision term and its cotangents are produced)
 # ---------------------------------------------------------------------------
 
-def _make_kernels(M, D, K, t_min, t_max, v_max, safe_dis,
-                  w_e, w_t, w_f, w_c, n_prims):
-    """Returns (fwd_kernel, valgrad_kernel) for a (nv, NB) decision tile.
+def common_fwd(M, K, t_min, t_max, x_ref, head_ref, tail_ref, with_grad):
+    """Shared forward state of the fused objective for a (nv, NB) decision
+    tile: tau -> T, banded MINCO solve, per-sample positions/velocities.
     Layout (lanes last): x_ref (D*(M-1)+M, NB); head/tail (3*D, NB) row-major
-    [pos; vel; acc]; prims (n_prims*6, NB)."""
-    assert D == 2, "kernels specialized to planar trajectories"
+    [pos; vel; acc]."""
+    D = 2
     F = _FALLING
     n = 6 * M
     nw = M - 1
     S = M * K
 
-    def common_fwd(x_ref, head_ref, tail_ref, prims_ref, with_grad):
-        sig = []
-        Ts = []
-        for m in range(M):
-            tau = x_ref[D * nw + m]
-            s = 1.0 / (1.0 + jnp.exp(-tau))
-            sig.append(s)
-            Ts.append(t_min + (t_max - t_min) * s)
-        zero = jnp.zeros_like(Ts[0])
-        one = jnp.ones_like(Ts[0])
+    sig = []
+    Ts = []
+    for m in range(M):
+        tau = x_ref[D * nw + m]
+        s = 1.0 / (1.0 + jnp.exp(-tau))
+        sig.append(s)
+        Ts.append(t_min + (t_max - t_min) * s)
+    zero = jnp.zeros_like(Ts[0])
+    one = jnp.ones_like(Ts[0])
 
-        A, rhs = _system_entries(M, x_ref, head_ref, tail_ref, Ts, zero, one)
-        xs = _solve_entries(A, rhs, n, D, 4, 6, zero)   # xs[col] = (D, NB)
-        # coeffs[m][j][d]
-        coeffs = [[[xs[6 * m + j][d] for d in range(D)] for j in range(6)]
-                  for m in range(M)]
+    A, rhs = _system_entries(M, x_ref, head_ref, tail_ref, Ts, zero, one)
+    xs = _solve_entries(A, rhs, n, D, 4, 6, zero)   # xs[col] = (D, NB)
+    # coeffs[m][j][d]
+    coeffs = [[[xs[6 * m + j][d] for d in range(D)] for j in range(6)]
+              for m in range(M)]
 
-        # sample arrays (S, NB)
-        T_all = jnp.concatenate(
-            [jnp.broadcast_to(Ts[m][None, :], (K, Ts[m].shape[0]))
-             for m in range(M)])
-        k_idx = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-                 % K).astype(jnp.float32)
-        frac = k_idx / (K - 1)
-        omg = jnp.where((k_idx == 0) | (k_idx == K - 1), 0.5, 1.0)
-        w_all = omg * T_all / (K - 1)
-        t_s = T_all * frac
-        pw = _powers(t_s)
+    # sample arrays (S, NB)
+    T_all = jnp.concatenate(
+        [jnp.broadcast_to(Ts[m][None, :], (K, Ts[m].shape[0]))
+         for m in range(M)])
+    k_idx = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+             % K).astype(jnp.float32)
+    frac = k_idx / (K - 1)
+    omg = jnp.where((k_idx == 0) | (k_idx == K - 1), 0.5, 1.0)
+    w_all = omg * T_all / (K - 1)
+    t_s = T_all * frac
+    pw = _powers(t_s)
 
-        def c_rep(j, d):
-            return jnp.concatenate(
-                [jnp.broadcast_to(coeffs[m][j][d][None, :],
-                                  (K, t_s.shape[1])) for m in range(M)])
+    def c_rep(j, d):
+        return jnp.concatenate(
+            [jnp.broadcast_to(coeffs[m][j][d][None, :],
+                              (K, t_s.shape[1])) for m in range(M)])
 
-        px = 0.0
-        py = 0.0
-        vx = 0.0
-        vy = 0.0
-        ax = 0.0
-        ay = 0.0
+    px = 0.0
+    py = 0.0
+    vx = 0.0
+    vy = 0.0
+    ax = 0.0
+    ay = 0.0
+    for j in range(6):
+        cj_x = c_rep(j, 0)
+        cj_y = c_rep(j, 1)
+        px = px + pw[j] * cj_x
+        py = py + pw[j] * cj_y
+        if j >= 1:
+            f1 = float(F[1][j])
+            vx = vx + f1 * pw[j - 1] * cj_x
+            vy = vy + f1 * pw[j - 1] * cj_y
+        if with_grad and j >= 2:
+            f2 = float(F[2][j])
+            ax = ax + f2 * pw[j - 2] * cj_x
+            ay = ay + f2 * pw[j - 2] * cj_y
+
+    return (sig, Ts, zero, one, A, xs, coeffs, T_all, frac, omg, w_all,
+            t_s, pw, px, py, vx, vy, ax, ay)
+
+
+def fwd_nocoll(M, K, v_max, w_e, w_t, w_f, state):
+    """Weighted energy + time + feasibility value of a forward state
+    (everything in the objective except the collision term)."""
+    F = _FALLING
+    (sig, Ts, zero, one, A, xs, coeffs, T_all, frac, omg, w_all,
+     t_s, pw, px, py, vx, vy, ax, ay) = state
+    # energy (3-pt GL per piece)
+    energy = zero
+    for m in range(M):
+        for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
+            t = Ts[m] * node
+            pw3 = _powers(t, 3)
+            jx = zero
+            jy = zero
+            for j in range(3, 6):
+                fac = float(F[3][j])
+                jx = jx + fac * pw3[j - 3] * coeffs[m][j][0]
+                jy = jy + fac * pw3[j - 3] * coeffs[m][j][1]
+            energy = energy + wq * Ts[m] * (jx * jx + jy * jy)
+    time_cost = zero
+    for m in range(M):
+        time_cost = time_cost + Ts[m]
+    vv = vx * vx + vy * vy - v_max * v_max
+    hv = jnp.maximum(vv, 0.0)
+    feas = jnp.sum(w_all * hv * hv * hv, axis=0)
+    return w_e * energy + w_t * time_cost + w_f * feas
+
+
+def valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f, state,
+                 collw, ppx, ppy, chcw, f_ref, g_ref):
+    """Full fused value+gradient given the collision term's contributions:
+
+    - collw (NB,):  weighted collision penalty value, w_c * sum_s w_all hc^3
+    - ppx/ppy (S, NB): d(w_c * coll)/d(sample position), weights folded in
+    - chcw (S, NB): w_c * hc^3 per sample (the sample-weight T chain)
+
+    Everything else — energy/time/feasibility forward values and the whole
+    adjoint (the reference's hand gradient, expert_planner.py:345-537):
+    transposed banded solve, b-row extraction, dA/dT beta-shift chain, tau
+    chain — is computed here, shared between the scene and grid backends.
+    """
+    D = 2
+    F = _FALLING
+    n = 6 * M
+    nw = M - 1
+    (sig, Ts, zero, one, A, xs, coeffs, T_all, frac, omg, w_all,
+     t_s, pw, px, py, vx, vy, ax, ay) = state
+
+    # ---- forward values + per-sample hinge activations
+    energy = zero
+    Tbar = [zero for _ in range(M)]   # df/dT accumulators
+    # energy value and its direct T chain:
+    #   E_m = sum_g wq * T * ||j(T nu)||^2
+    #   dE/dT = sum_g wq (||j||^2 + T * 2 j . s * nu), s = d jerk/dt
+    for m in range(M):
+        for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
+            t = Ts[m] * node
+            pw3 = _powers(t, 3)
+            jx = zero
+            jy = zero
+            sx = zero
+            sy = zero
+            for j in range(3, 6):
+                f3 = float(F[3][j])
+                jx = jx + f3 * pw3[j - 3] * coeffs[m][j][0]
+                jy = jy + f3 * pw3[j - 3] * coeffs[m][j][1]
+                if j >= 4:
+                    f4 = float(F[4][j])
+                    sx = sx + f4 * pw3[j - 4] * coeffs[m][j][0]
+                    sy = sy + f4 * pw3[j - 4] * coeffs[m][j][1]
+            jsq = jx * jx + jy * jy
+            energy = energy + wq * Ts[m] * jsq
+            Tbar[m] = Tbar[m] + w_e * wq * (
+                jsq + Ts[m] * 2.0 * (jx * sx + jy * sy) * node)
+
+    time_cost = zero
+    for m in range(M):
+        time_cost = time_cost + Ts[m]
+        Tbar[m] = Tbar[m] + w_t
+
+    vv = vx * vx + vy * vy - v_max * v_max
+    hv = jnp.maximum(vv, 0.0)
+    hv2 = hv * hv
+    feas = jnp.sum(w_all * hv * hv2, axis=0)
+
+    f_ref[0] = w_e * energy + w_t * time_cost + w_f * feas + collw
+
+    # ---- adjoint
+    # per-sample cotangents w.r.t. velocity (weights folded in); the position
+    # cotangents ppx/ppy arrive from the collision backend
+    e_s = w_f * w_all * 3.0 * hv2          # d feas / d vv
+    pvx = e_s * 2.0 * vx                   # d feas / d vx
+    pvy = e_s * 2.0 * vy
+
+    # weight/time T chains of the sampled terms:
+    #   d(w)/dT = omg/(K-1) * hinge^3;   d(term)/dt_s * frac
+    #   d pos/dt = vel, d vel/dt = acc, d dis/dt = grad . vel
+    dT_samp = (omg / (K - 1)) * (w_f * hv * hv2 + chcw) \
+        + (ppx * vx + ppy * vy + pvx * ax + pvy * ay) * frac
+    for m in range(M):
+        Tbar[m] = Tbar[m] + jnp.sum(dT_samp[m * K:(m + 1) * K], axis=0)
+
+    # cotangent of the coefficients: cbar[m][j][d]
+    # energy part: dE/dc[m][j][d] = sum_g w_e wq T 2 j_d F3[j] t^{j-3}
+    cbar = [[[zero for _ in range(D)] for _ in range(6)]
+            for _ in range(M)]
+    for m in range(M):
+        for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
+            t = Ts[m] * node
+            pw3 = _powers(t, 3)
+            jx = zero
+            jy = zero
+            for j in range(3, 6):
+                f3 = float(F[3][j])
+                jx = jx + f3 * pw3[j - 3] * coeffs[m][j][0]
+                jy = jy + f3 * pw3[j - 3] * coeffs[m][j][1]
+            scale = w_e * wq * Ts[m] * 2.0
+            for j in range(3, 6):
+                f3 = float(F[3][j])
+                cbar[m][j][0] = cbar[m][j][0] + scale * jx * f3 * pw3[j - 3]
+                cbar[m][j][1] = cbar[m][j][1] + scale * jy * f3 * pw3[j - 3]
+    # sampled parts: pos_d = sum_j t^j c, vel_d = sum_j F1[j] t^{j-1} c
+    for m in range(M):
+        sl = slice(m * K, (m + 1) * K)
         for j in range(6):
-            cj_x = c_rep(j, 0)
-            cj_y = c_rep(j, 1)
-            px = px + pw[j] * cj_x
-            py = py + pw[j] * cj_y
+            wpos_x = jnp.sum(ppx[sl] * pw[j][sl], axis=0)
+            wpos_y = jnp.sum(ppy[sl] * pw[j][sl], axis=0)
+            cbar[m][j][0] = cbar[m][j][0] + wpos_x
+            cbar[m][j][1] = cbar[m][j][1] + wpos_y
             if j >= 1:
                 f1 = float(F[1][j])
-                vx = vx + f1 * pw[j - 1] * cj_x
-                vy = vy + f1 * pw[j - 1] * cj_y
-            if with_grad and j >= 2:
-                f2 = float(F[2][j])
-                ax = ax + f2 * pw[j - 2] * cj_x
-                ay = ay + f2 * pw[j - 2] * cj_y
+                cbar[m][j][0] = cbar[m][j][0] + f1 * jnp.sum(
+                    pvx[sl] * pw[j - 1][sl], axis=0)
+                cbar[m][j][1] = cbar[m][j][1] + f1 * jnp.sum(
+                    pvy[sl] * pw[j - 1][sl], axis=0)
 
-        return (sig, Ts, zero, one, A, xs, coeffs, T_all, frac, omg, w_all,
-                t_s, pw, px, py, vx, vy, ax, ay)
+    # transposed banded solve: lam = A^-T cbar  (expert_planner.py:503)
+    AT = {(c, r): v for (r, c), v in A.items()}
+    rhsT = {}
+    for col in range(n):
+        m, j = divmod(col, 6)
+        rhsT[col] = [cbar[m][j][d] for d in range(D)]
+    lam = _solve_entries(AT, rhsT, n, D, 2, 6, zero)  # lam[row] = (D, NB)
 
-    def fwd_value(state, prims_ref):
-        (sig, Ts, zero, one, A, xs, coeffs, T_all, frac, omg, w_all,
-         t_s, pw, px, py, vx, vy, ax, ay) = state
-        # energy (3-pt GL per piece)
-        energy = zero
-        for m in range(M):
-            for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
-                t = Ts[m] * node
-                pw3 = _powers(t, 3)
-                jx = zero
-                jy = zero
-                for j in range(3, 6):
-                    fac = float(F[3][j])
-                    jx = jx + fac * pw3[j - 3] * coeffs[m][j][0]
-                    jy = jy + fac * pw3[j - 3] * coeffs[m][j][1]
-                energy = energy + wq * Ts[m] * (jx * jx + jy * jy)
-        time_cost = zero
-        for m in range(M):
-            time_cost = time_cost + Ts[m]
-        vv = vx * vx + vy * vy - v_max * v_max
-        hv = jnp.maximum(vv, 0.0)
-        feas = jnp.sum(w_all * hv * hv * hv, axis=0)
+    # waypoint gradients: qbar[d][i] = lam[6i+3][d] (b-row cotangent)
+    for i in range(M - 1):
+        g_ref[i] = lam[6 * i + 3][0]
+        g_ref[nw + i] = lam[6 * i + 3][1]
+
+    # Abar = -lam x^T chain into T via d beta_k / dT = beta_{k+1}
+    def add_dA(m, rows_ks, c0):
+        p = _powers(Ts[m])
+        acc = zero
+        for r, k in rows_ks:
+            for j in range(k + 1, 6):
+                dA = float(F[k + 1][j]) * p[j - k - 1]
+                lx = (lam[r][0] * xs[c0 + j][0]
+                      + lam[r][1] * xs[c0 + j][1])
+                acc = acc - dA * lx
+        return acc
+
+    for i in range(M - 1):
+        base = 6 * i + 3
+        rows_ks = [(base, 0), (base + 1, 0), (base + 2, 1),
+                   (base + 3, 2), (base + 4, 3), (base + 5, 4)]
+        Tbar[i] = Tbar[i] + add_dA(i, rows_ks, 6 * i)
+    rows_ks = [(n - 3 + k, k) for k in range(3)]
+    Tbar[M - 1] = Tbar[M - 1] + add_dA(M - 1, rows_ks, n - 6)
+
+    # tau chain
+    for m in range(M):
+        g_ref[D * nw + m] = Tbar[m] * (t_max - t_min) * sig[m] \
+            * (1.0 - sig[m])
+
+
+# ---------------------------------------------------------------------------
+# scene-backend kernels
+# ---------------------------------------------------------------------------
+
+def _make_kernels(M, D, K, t_min, t_max, v_max, safe_dis,
+                  w_e, w_t, w_f, w_c, n_prims):
+    """Returns (fwd_kernel, valgrad_kernel) for a (nv, NB) decision tile with
+    the analytic scene SDF as the collision backend; prims (n_prims*6, NB)."""
+    assert D == 2, "kernels specialized to planar trajectories"
+
+    def fwd_kernel(x_ref, head_ref, tail_ref, prims_ref, out_ref):
+        state = common_fwd(M, K, t_min, t_max, x_ref, head_ref, tail_ref,
+                           False)
+        w_all, px, py = state[10], state[13], state[14]
         dis = _scene_min_dist(prims_ref, n_prims, px, py, False)
         hc = jnp.maximum(safe_dis - dis, 0.0)
         coll = jnp.sum(w_all * hc * hc * hc, axis=0)
-        f = w_e * energy + w_t * time_cost + w_f * feas + w_c * coll
-        return f
-
-    def fwd_kernel(x_ref, head_ref, tail_ref, prims_ref, out_ref):
-        state = common_fwd(x_ref, head_ref, tail_ref, prims_ref, False)
-        out_ref[0] = fwd_value(state, prims_ref)
+        out_ref[0] = fwd_nocoll(M, K, v_max, w_e, w_t, w_f, state) + w_c * coll
 
     def valgrad_kernel(x_ref, head_ref, tail_ref, prims_ref, f_ref, g_ref):
-        (sig, Ts, zero, one, A, xs, coeffs, T_all, frac, omg, w_all,
-         t_s, pw, px, py, vx, vy, ax, ay) = common_fwd(
-            x_ref, head_ref, tail_ref, prims_ref, True)
-
-        # ---- forward values + per-sample hinge activations
-        energy = zero
-        Tbar = [zero for _ in range(M)]   # df/dT accumulators
-        # energy value and its direct T chain:
-        #   E_m = sum_g wq * T * ||j(T nu)||^2
-        #   dE/dT = sum_g wq (||j||^2 + T * 2 j . s * nu), s = d jerk/dt
-        for m in range(M):
-            for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
-                t = Ts[m] * node
-                pw3 = _powers(t, 3)
-                jx = zero
-                jy = zero
-                sx = zero
-                sy = zero
-                for j in range(3, 6):
-                    f3 = float(F[3][j])
-                    jx = jx + f3 * pw3[j - 3] * coeffs[m][j][0]
-                    jy = jy + f3 * pw3[j - 3] * coeffs[m][j][1]
-                    if j >= 4:
-                        f4 = float(F[4][j])
-                        sx = sx + f4 * pw3[j - 4] * coeffs[m][j][0]
-                        sy = sy + f4 * pw3[j - 4] * coeffs[m][j][1]
-                jsq = jx * jx + jy * jy
-                energy = energy + wq * Ts[m] * jsq
-                Tbar[m] = Tbar[m] + w_e * wq * (
-                    jsq + Ts[m] * 2.0 * (jx * sx + jy * sy) * node)
-
-        time_cost = zero
-        for m in range(M):
-            time_cost = time_cost + Ts[m]
-            Tbar[m] = Tbar[m] + w_t
-
-        vv = vx * vx + vy * vy - v_max * v_max
-        hv = jnp.maximum(vv, 0.0)
-        hv2 = hv * hv
-        feas = jnp.sum(w_all * hv * hv2, axis=0)
-
+        state = common_fwd(M, K, t_min, t_max, x_ref, head_ref, tail_ref,
+                           True)
+        w_all, px, py = state[10], state[13], state[14]
         dis, gsx, gsy = _scene_min_dist(prims_ref, n_prims, px, py, True)
         hc = jnp.maximum(safe_dis - dis, 0.0)
         hc2 = hc * hc
-        coll = jnp.sum(w_all * hc * hc2, axis=0)
-
-        f_ref[0] = (w_e * energy + w_t * time_cost + w_f * feas + w_c * coll)
-
-        # ---- adjoint
-        # per-sample cotangents w.r.t. position/velocity (weights folded in)
-        e_s = w_f * w_all * 3.0 * hv2          # d feas / d vv
-        pvx = e_s * 2.0 * vx                   # d feas / d vx
-        pvy = e_s * 2.0 * vy
+        collw = w_c * jnp.sum(w_all * hc * hc2, axis=0)
         g_s = w_c * w_all * 3.0 * hc2          # d coll / d hc  (hc = safe-dis)
-        ppx = -g_s * gsx                       # d coll / d px
-        ppy = -g_s * gsy
-
-        # weight/time T chains of the sampled terms:
-        #   d(w)/dT = omg/(K-1) * hinge^3;   d(term)/dt_s * frac
-        #   d pos/dt = vel, d vel/dt = acc, d dis/dt = grad . vel
-        dT_samp = (omg / (K - 1)) * (w_f * hv * hv2 + w_c * hc * hc2) \
-            + (ppx * vx + ppy * vy + pvx * ax + pvy * ay) * frac
-        for m in range(M):
-            Tbar[m] = Tbar[m] + jnp.sum(dT_samp[m * K:(m + 1) * K], axis=0)
-
-        # cotangent of the coefficients: cbar[m][j][d]
-        # energy part: dE/dc[m][j][d] = sum_g w_e wq T 2 j_d F3[j] t^{j-3}
-        cbar = [[[zero for _ in range(D)] for _ in range(6)]
-                for _ in range(M)]
-        for m in range(M):
-            for node, wq in zip(_GL_NODES, _GL_WEIGHTS):
-                t = Ts[m] * node
-                pw3 = _powers(t, 3)
-                jx = zero
-                jy = zero
-                for j in range(3, 6):
-                    f3 = float(F[3][j])
-                    jx = jx + f3 * pw3[j - 3] * coeffs[m][j][0]
-                    jy = jy + f3 * pw3[j - 3] * coeffs[m][j][1]
-                scale = w_e * wq * Ts[m] * 2.0
-                for j in range(3, 6):
-                    f3 = float(F[3][j])
-                    cbar[m][j][0] = cbar[m][j][0] + scale * jx * f3 * pw3[j - 3]
-                    cbar[m][j][1] = cbar[m][j][1] + scale * jy * f3 * pw3[j - 3]
-        # sampled parts: pos_d = sum_j t^j c, vel_d = sum_j F1[j] t^{j-1} c
-        for m in range(M):
-            sl = slice(m * K, (m + 1) * K)
-            for j in range(6):
-                wpos_x = jnp.sum(ppx[sl] * pw[j][sl], axis=0)
-                wpos_y = jnp.sum(ppy[sl] * pw[j][sl], axis=0)
-                cbar[m][j][0] = cbar[m][j][0] + wpos_x
-                cbar[m][j][1] = cbar[m][j][1] + wpos_y
-                if j >= 1:
-                    f1 = float(F[1][j])
-                    cbar[m][j][0] = cbar[m][j][0] + f1 * jnp.sum(
-                        pvx[sl] * pw[j - 1][sl], axis=0)
-                    cbar[m][j][1] = cbar[m][j][1] + f1 * jnp.sum(
-                        pvy[sl] * pw[j - 1][sl], axis=0)
-
-        # transposed banded solve: lam = A^-T cbar  (expert_planner.py:503)
-        AT = {(c, r): v for (r, c), v in A.items()}
-        rhsT = {}
-        for col in range(n):
-            m, j = divmod(col, 6)
-            rhsT[col] = [cbar[m][j][d] for d in range(D)]
-        lam = _solve_entries(AT, rhsT, n, D, 2, 6, zero)  # lam[row] = (D, NB)
-
-        # waypoint gradients: qbar[d][i] = lam[6i+3][d] (b-row cotangent)
-        for i in range(M - 1):
-            g_ref[i] = lam[6 * i + 3][0]
-            g_ref[nw + i] = lam[6 * i + 3][1]
-
-        # Abar = -lam x^T chain into T via d beta_k / dT = beta_{k+1}
-        def add_dA(m, rows_ks, c0):
-            p = _powers(Ts[m])
-            acc = zero
-            for r, k in rows_ks:
-                for j in range(k + 1, 6):
-                    dA = float(F[k + 1][j]) * p[j - k - 1]
-                    lx = (lam[r][0] * xs[c0 + j][0]
-                          + lam[r][1] * xs[c0 + j][1])
-                    acc = acc - dA * lx
-            return acc
-
-        for i in range(M - 1):
-            base = 6 * i + 3
-            rows_ks = [(base, 0), (base + 1, 0), (base + 2, 1),
-                       (base + 3, 2), (base + 4, 3), (base + 5, 4)]
-            Tbar[i] = Tbar[i] + add_dA(i, rows_ks, 6 * i)
-        rows_ks = [(n - 3 + k, k) for k in range(3)]
-        Tbar[M - 1] = Tbar[M - 1] + add_dA(M - 1, rows_ks, n - 6)
-
-        # tau chain
-        for m in range(M):
-            g_ref[D * nw + m] = Tbar[m] * (t_max - t_min) * sig[m] \
-                * (1.0 - sig[m])
+        valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f, state,
+                     collw, -g_s * gsx, -g_s * gsy, w_c * hc * hc2,
+                     f_ref, g_ref)
 
     return fwd_kernel, valgrad_kernel
 
@@ -604,7 +644,16 @@ def _vjp_objective(statics, n_prims, interpret):
                 jnp.zeros_like(prims))
 
     obj.defvjp(fwd, bwd)
-    return obj
+
+    def obj_x_only(x, head, tail, prims):
+        # the adjoint kernel only produces d/dx; make the x-only
+        # differentiability explicit so a future caller differentiating w.r.t.
+        # boundary states or scene parameters (e.g. training through the
+        # planner) sees stopped gradients by contract, not silent zeros
+        return obj(x, jax.lax.stop_gradient(head), jax.lax.stop_gradient(tail),
+                   jax.lax.stop_gradient(prims))
+
+    return obj_x_only
 
 
 def objective_vjp(x: jnp.ndarray, head_state: jnp.ndarray,

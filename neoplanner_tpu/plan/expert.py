@@ -76,47 +76,92 @@ def seed_bank(start_pos: jnp.ndarray, target_pos: jnp.ndarray, key: jnp.ndarray,
     return jnp.stack(seeds)
 
 
+def _kernel_backend() -> str:
+    import os
+    return os.environ.get("NEO_OBJ_BACKEND",
+                          os.environ.get("NEO_LS_BACKEND", "pallas"))
+
+
+def make_plan_window(emap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
+                     pp: PlannerParams):
+    """ESDF window around the local planning problem when the fused grid
+    kernels are engaged (ESDF backend on TPU), else None.
+
+    One window serves every lane/candidate of the solve: the receding-horizon
+    target sits at most ~longitu_step_dis + escape from the plan start
+    (traj_planner_node.py:450-488), so a kernel_window_cells-sized crop
+    centered between head and tail covers the whole multi-start bank."""
+    from neoplanner_tpu.mapping import scene as scene_map
+    if (isinstance(emap, scene_map.SceneMap)
+            or pp.sampling != "relative"
+            or jax.default_backend() != "tpu"
+            or _kernel_backend() == "xla"):
+        return None
+    from neoplanner_tpu.mapping import esdf as esdf_map
+    center = (head_state[0] + tail_state[0]) / 2
+    return esdf_map.make_window(emap, center, pp.kernel_window_cells)
+
+
 def solve_one(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
-              int_wpts0: jnp.ndarray, ts0: jnp.ndarray, pp: PlannerParams
-              ) -> Trajectory:
+              int_wpts0: jnp.ndarray, ts0: jnp.ndarray, pp: PlannerParams,
+              window=None) -> Trajectory:
     """One L-BFGS solve from one initialization (plan_once, expert_planner.py:205-237).
 
     head_state/tail_state: (s, D) boundary states (rows beyond those provided by the
     caller should be zero — matching read_planning_conditions, :170-184).
+    window: optional (esdf, origin) crop from :func:`make_plan_window` —
+    engages the fused grid kernels for the optimization-time objective.
     """
     x0 = costs_mod.pack(int_wpts0, minco.T_to_tau(ts0, pp.t_min, pp.t_max), pp)
     fun = partial(costs_mod.objective, head_state=head_state,
                   tail_state=tail_state, emap=emap, pp=pp)
     from neoplanner_tpu.mapping import scene as scene_map
     is_scene = isinstance(emap, scene_map.SceneMap)
+    # On the TPU the fused Pallas kernels evaluate the objective: line-search
+    # candidates via the forward-only kernel, the accept-point value_and_grad
+    # via the fused analytic-adjoint kernel (plan/costs_pallas.py for the
+    # analytic scene backend, plan/costs_pallas_grid.py for sensed ESDF
+    # grids) — profiling showed the XLA evaluation chains dominate the solve
+    # wall time. NEO_OBJ_BACKEND=xla keeps autodiff (A/B).
+    ls_fun = None
+    cost_pp = pp
+    if (pp.sampling == "relative" and jax.default_backend() == "tpu"
+            and _kernel_backend() != "xla" and is_scene):
+        from neoplanner_tpu.plan import costs_pallas
+        ls_fun = partial(costs_pallas.objective_fwd,
+                         head_state=head_state, tail_state=tail_state,
+                         scene=emap, pp=pp)
+        fun = partial(costs_pallas.objective_vjp, head_state=head_state,
+                      tail_state=tail_state, scene=emap, pp=pp)
+    elif window is not None:
+        from neoplanner_tpu.plan import costs_pallas_grid
+        win_esdf, win_origin = window
+        ls_fun = partial(costs_pallas_grid.objective_fwd_grid,
+                         head_state=head_state, tail_state=tail_state,
+                         win_esdf=win_esdf, win_origin=win_origin, pp=pp)
+        fun = partial(costs_pallas_grid.objective_vjp_grid,
+                      head_state=head_state, tail_state=tail_state,
+                      win_esdf=win_esdf, win_origin=win_origin, pp=pp)
+        # acceptance below re-evaluates against the FULL map (a window can
+        # never accept what the map rejects); nearest-cell lookups are the
+        # reference's own acceptance semantics (esdf.py:53-82) and avoid the
+        # full-grid one-hot MXU temporaries at large batch
+        import dataclasses
+        cost_pp = dataclasses.replace(pp, esdf_interp="nearest")
     if pp.ls_mode == "auto":
-        ls_parallel = is_scene
+        # wide (vmapped) line search only when the fused forward kernel absorbs
+        # the widened candidate axis; the widened XLA objective is the round-1
+        # OOM shape (batch x candidates x samples x primitives) at B=4096
+        ls_parallel = ls_fun is not None
     else:
         ls_parallel = pp.ls_mode == "wide"
-    # On the TPU scene backend the fused Pallas kernels evaluate the
-    # objective: line-search candidates via the forward-only kernel, the
-    # accept-point value_and_grad via the fused analytic-adjoint kernel
-    # (plan/costs_pallas.py) — profiling showed the XLA evaluation chains
-    # dominate the solve wall time. NEO_OBJ_BACKEND=xla keeps autodiff (A/B).
-    ls_fun = None
-    if (is_scene and pp.sampling == "relative"
-            and jax.default_backend() == "tpu"):
-        import os
-        backend = os.environ.get("NEO_OBJ_BACKEND",
-                                 os.environ.get("NEO_LS_BACKEND", "pallas"))
-        if backend != "xla":
-            from neoplanner_tpu.plan import costs_pallas
-            ls_fun = partial(costs_pallas.objective_fwd,
-                             head_state=head_state, tail_state=tail_state,
-                             scene=emap, pp=pp)
-            fun = partial(costs_pallas.objective_vjp, head_state=head_state,
-                          tail_state=tail_state, scene=emap, pp=pp)
     res = lbfgs.minimize(fun, x0, max_iters=pp.max_iters, history=pp.history,
                          max_ls=pp.max_ls, ftol=1e-10, gtol=1e-8,
                          ls_parallel=ls_parallel, ls_fun=ls_fun)
     q, tau = costs_mod.unpack(res.x, pp)
     ts = minco.tau_to_T(tau, pp.t_min, pp.t_max)
-    cvec, coeffs = costs_mod.traj_costs(head_state, tail_state, q, ts, emap, pp)
+    cvec, coeffs = costs_mod.traj_costs(head_state, tail_state, q, ts, emap,
+                                        cost_pp)
     ok = cvec[3] * pp.w_collision <= pp.collision_cost_tol
     return Trajectory(int_wpts=q, ts=ts, coeffs=coeffs, costs=cvec, ok=ok,
                       iters=res.iters)
@@ -157,9 +202,40 @@ def plan(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
     """
     seeds = seed_bank(head_state[0], tail_state[0], key, pp)       # (B, D, n)
     ts0 = init_ts(pp)
-    bank = jax.vmap(lambda q0: solve_one(emap, head_state, tail_state, q0, ts0, pp)
-                    )(seeds)
+    window = make_plan_window(emap, head_state, tail_state, pp)
+    bank = jax.vmap(lambda q0: solve_one(emap, head_state, tail_state, q0, ts0,
+                                         pp, window=window))(seeds)
     return _select(bank, pp)
+
+
+def plan_with_carry(emap: ESDFMap, head_state: jnp.ndarray,
+                    tail_state: jnp.ndarray, carry_wpts0: jnp.ndarray,
+                    carry_ts0: jnp.ndarray, has_carry: jnp.ndarray,
+                    key: jnp.ndarray, pp: PlannerParams) -> Trajectory:
+    """The 'warmstart' planner's replan as ONE merged bank.
+
+    Lane 0 holds the carried previous solution when one exists (else the
+    straight seed, making this identical to :func:`plan`); the remaining lanes
+    are the reference seeds + noisy retries. Selection gives the carry lane
+    priority when feasible — warm_start_plan returns immediately on carry
+    success (expert_planner.py:186-192) — then falls back to the expert
+    priority. Round 2 ran a warm bank AND a cold :func:`plan` bank every
+    segment and selected by has_carry afterward; in fixed-shape jitted code
+    both always execute, so 'warmstart' cost ~2x an expert plan forever.
+    """
+    seeds = seed_bank(head_state[0], tail_state[0], key, pp)
+    seeds = seeds.at[0].set(jnp.where(has_carry, carry_wpts0, seeds[0]))
+    ts_bank = jnp.broadcast_to(init_ts(pp), (seeds.shape[0], pp.num_pieces))
+    ts_bank = ts_bank.at[0].set(jnp.where(has_carry, carry_ts0, ts_bank[0]))
+    window = make_plan_window(emap, head_state, tail_state, pp)
+    bank = jax.vmap(lambda q0, t0: solve_one(emap, head_state, tail_state,
+                                             q0, t0, pp, window=window)
+                    )(seeds, ts_bank)
+    sel = _select(bank, pp)
+    use_carry = has_carry & bank.ok[0]
+    picked = jax.tree_util.tree_map(
+        lambda lanes, s: jnp.where(use_carry, lanes[0], s), bank, sel)
+    return picked.replace(ok=sel.ok, iters=jnp.sum(bank.iters))
 
 
 def warm_start_plan(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
@@ -172,7 +248,9 @@ def warm_start_plan(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndar
     seeds = jnp.concatenate([int_wpts0[None], retries], axis=0)
     ts_bank = jnp.concatenate([ts0[None], jnp.broadcast_to(
         init_ts(pp), (retries.shape[0], pp.num_pieces))], axis=0)
-    bank = jax.vmap(lambda q0, t0: solve_one(emap, head_state, tail_state, q0, t0, pp)
+    window = make_plan_window(emap, head_state, tail_state, pp)
+    bank = jax.vmap(lambda q0, t0: solve_one(emap, head_state, tail_state, q0,
+                                             t0, pp, window=window)
                     )(seeds, ts_bank)
 
     # priority: the warm-start lane if feasible, else cheapest feasible retry

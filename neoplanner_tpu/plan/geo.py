@@ -162,7 +162,7 @@ def geo_plan(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
     """Host A* + prune -> device warm-start refine (geo_traj_plan,
     geo_planner.py:19-35). Not jittable (host search); use the wavefront variant
     for batched use."""
-    grid = np.asarray(emap.esdf)
+    grid = np.asarray(emap.esdf.astype(jnp.float32))
     origin = np.asarray(emap.origin)
     res = float(emap.resolution)
     start = np.asarray(head_state[0])

@@ -162,6 +162,18 @@ def render_depth(world: BoxWorld, pos: jnp.ndarray, quat: jnp.ndarray,
     return jnp.where(valid, z_depth, cam.max_range)
 
 
+def render_depth_auto(world: BoxWorld, pos: jnp.ndarray, quat: jnp.ndarray,
+                      cam: CameraParams) -> jnp.ndarray:
+    """render_depth, via the fused Pallas trace kernel on TPU
+    (sense/raycast_pallas.py; NEO_RENDER_BACKEND=xla reverts for A/B)."""
+    import os
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("NEO_RENDER_BACKEND", "pallas") != "xla"):
+        from neoplanner_tpu.sense import raycast_pallas
+        return raycast_pallas.render_depth(world, pos, quat, cam)
+    return render_depth(world, pos, quat, cam)
+
+
 def depth_to_points(depth: jnp.ndarray, pos: jnp.ndarray, quat: jnp.ndarray,
                     cam: CameraParams):
     """Back-project a depth image to world points: ((H, W, 3), hit_mask (H, W))."""

@@ -141,12 +141,16 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
                        grad_x=jnp.zeros((1, 1)), grad_y=jnp.zeros((1, 1)),
                        origin=origin,
                        resolution=jnp.asarray(mapp.resolution, jnp.float32))
+    elif sensing == "gt":
+        emap = esdf_map.build(voxelize.occupancy_2d(world, mapp), origin,
+                              mapp.resolution)
     else:
-        if sensing == "gt":
-            occ = voxelize.occupancy_2d(world, mapp)
-        else:
-            occ = jnp.zeros((mapp.height, mapp.width))
-        emap = esdf_map.build(occ, origin, mapp.resolution)
+        # onboard mode: lite profile (bf16 truncated field, no grad/occupancy
+        # planes) — must match what rebuild_esdf produces so the jitted step
+        # signature is identical between reset- and step-produced states
+        emap = esdf_map.build(jnp.zeros((mapp.height, mapp.width)), origin,
+                              mapp.resolution, max_dist=mapp.edt_truncation,
+                              lite=True)
 
     key, k_goal = jax.random.split(key)
     flap = jnp.zeros((), jnp.int32)
@@ -226,11 +230,8 @@ def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
         traj = expert.plan(pmap, head, tail, k_p, pp)
     elif planner == "warmstart":
         q0 = state.carry_wpts + ahead[0][:, None]
-        warm = expert.warm_start_plan(pmap, head, tail, q0,
-                                      state.carry_ts, k_p, pp)
-        cold = expert.plan(pmap, head, tail, k_p, pp)
-        traj = jax.tree_util.tree_map(
-            lambda w, c: jnp.where(state.has_carry, w, c), warm, cold)
+        traj = expert.plan_with_carry(pmap, head, tail, q0, state.carry_ts,
+                                      state.has_carry, k_p, pp)
     elif planner == "geo":
         from neoplanner_tpu.plan import geo
         # the wavefront needs the rasterized grid regardless of plan_map (the
@@ -241,7 +242,7 @@ def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
         traj = geo.geo_plan_device(state.emap, head, tail, k_p, pp)
     elif planner in ("nn", "neo"):
         assert net_vars is not None and np_cfg is not None and cam is not None
-        depth = raycast.render_depth(state.world, state.drone.pos,
+        depth = raycast.render_depth_auto(state.world, state.drone.pos,
                                      state.drone.quat, cam)
         if planner == "nn":
             from neoplanner_tpu.plan import nn_init
@@ -322,21 +323,30 @@ def fuse_frame(state: EnvState, mapp: MapParams, cam: CameraParams
     """Render a depth frame from the current pose and fuse it into the
     log-odds grid (octomap_server's per-message insertion) — no ESDF rebuild.
     Sensor-rate fusion interleaves this with tracking substeps."""
-    depth = raycast.render_depth(state.world, state.drone.pos, state.drone.quat,
+    depth = raycast.render_depth_auto(state.world, state.drone.pos, state.drone.quat,
                                  cam)
-    insert = (occupancy.insert_depth_2d if mapp.fusion == "2d"
-              else occupancy.insert_depth)
-    logodds = insert(state.logodds, depth, state.drone.pos,
-                     state.drone.quat, cam, mapp)
+    if mapp.fusion == "2d_dense":
+        from neoplanner_tpu.mapping import occupancy_pallas
+        logodds = occupancy_pallas.insert_depth_2d_dense(
+            state.logodds, depth, state.drone.pos, state.drone.quat, cam,
+            mapp, interpret=jax.default_backend() != "tpu")
+    else:
+        insert = (occupancy.insert_depth_2d if mapp.fusion == "2d"
+                  else occupancy.insert_depth)
+        logodds = insert(state.logodds, depth, state.drone.pos,
+                         state.drone.quat, cam, mapp)
     return state.replace(logodds=logodds)
 
 
 def rebuild_esdf(state: EnvState, mapp: MapParams) -> EnvState:
     """Binarize the fused log-odds and rebuild the (optionally truncated) ESDF
-    (ESDF.occupancy_map_cb, esdf.py:11-33)."""
+    (ESDF.occupancy_map_cb, esdf.py:11-33). Keeps the state's memory profile:
+    a lite map (depth-mode reset) rebuilds lite."""
     occ = occupancy.to_occupancy(state.logodds, mapp)
+    lite = state.emap.occupancy.shape != state.emap.esdf.shape
     emap = esdf_map.build(occ, jnp.array([mapp.origin_x, mapp.origin_y]),
-                          mapp.resolution, max_dist=mapp.edt_truncation)
+                          mapp.resolution, max_dist=mapp.edt_truncation,
+                          lite=lite)
     return state.replace(emap=emap)
 
 

@@ -95,6 +95,13 @@ def parse_world(path: str, max_boxes: int = 64) -> BoxWorld:
             poses[name] = np.array(vals[:3])
 
     names = [n for n in prims if n in poses]
+    total = sum(len(prims[n]) for n in names)
+    if total > max_boxes:
+        # silently dropping geometry would make collision scoring lie about the
+        # world (round 2 lost forest.world's last trees this way) — fail loud
+        raise ValueError(
+            f"{path}: {total} primitives exceed max_boxes={max_boxes}; "
+            f"pass max_boxes>={total}")
     K = max_boxes
     centers = np.zeros((K, 3), dtype=np.float32)
     half = np.full((K, 3), 0.01, dtype=np.float32)
@@ -103,8 +110,6 @@ def parse_world(path: str, max_boxes: int = 64) -> BoxWorld:
     i = 0
     for n in names:
         for (sh, hs, z_off) in prims[n]:
-            if i >= K:
-                break
             centers[i] = poses[n] + np.array([0.0, 0.0, z_off])
             half[i] = hs
             active[i] = True

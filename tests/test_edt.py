@@ -89,3 +89,29 @@ def test_truncated_exact_below_radius(rng):
 def test_truncated_empty_grid():
     got = np.asarray(edt.edt_truncated(jnp.zeros((16, 16)), 0.1, 2.0))
     assert np.all(got == np.float32(2.0))
+
+
+def test_pass2_banded_kernel_matches_xla():
+    """Pallas banded min-plus (ops/edt_pallas.pass2_banded) vs the XLA form."""
+    import jax
+    from neoplanner_tpu.ops import edt as edt_ops
+    from neoplanner_tpu.ops import edt_pallas
+
+    key = jax.random.PRNGKey(0)
+    occ = (jax.random.uniform(key, (64, 96)) > 0.93).astype(jnp.float32)
+    radius = 12
+    g2 = jnp.minimum(edt_ops._row_distance_sq(occ > 0.5),
+                     jnp.float32((radius + 1) ** 2))
+    want = np.asarray(edt_ops._pass2_banded(g2, radius))
+    got = np.asarray(edt_pallas.pass2_banded(g2, radius, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # batched under vmap (one field per env)
+    occ_b = (jax.random.uniform(key, (3, 64, 96)) > 0.93).astype(jnp.float32)
+    g2_b = jnp.minimum(jax.vmap(lambda o: edt_ops._row_distance_sq(o > 0.5)
+                                )(occ_b), jnp.float32((radius + 1) ** 2))
+    want_b = np.asarray(jax.vmap(lambda g: edt_ops._pass2_banded(g, radius)
+                                 )(g2_b))
+    got_b = np.asarray(jax.vmap(lambda g: edt_pallas.pass2_banded(
+        g, radius, interpret=True))(g2_b))
+    np.testing.assert_allclose(got_b, want_b, atol=1e-5)

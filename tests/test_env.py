@@ -143,14 +143,18 @@ def test_vision_sensor_rate_fusion_and_truncated_edt(world):
     assert bool(state.reached), (bool(state.failed), float(state.steps))
     assert float(state.metrics[2]) < 1e-3
     # more occupancy got fused than a single-frame-per-segment run would see
-    assert float(jnp.sum(state.emap.occupancy)) > 0
+    assert float(jnp.sum(occupancy.to_occupancy(state.logodds, mapp))) > 0
 
     # the truncated field matches an exact rebuild below the truncation radius
     # (rebuild from the same log-odds snapshot: state.emap itself is one
     # rebuild older than state.logodds, which kept fusing during the segment)
     occ = occupancy.to_occupancy(state.logodds, mapp)
     exact = np.asarray(edt_ops.edt(occ, mapp.resolution))
-    got = np.asarray(env.rebuild_esdf(state, mapp).emap.esdf)
+    # lite vision maps store the field bf16: compare at bf16 precision
+    got = np.asarray(env.rebuild_esdf(state, mapp).emap.esdf
+                     .astype(jnp.float32))
+    exact = np.asarray(jnp.asarray(exact).astype(jnp.bfloat16)
+                       .astype(jnp.float32))
     near = exact < mapp.edt_truncation
-    np.testing.assert_allclose(got[near], exact[near], rtol=1e-4, atol=1e-4)
-    assert np.all(got[~near] >= mapp.edt_truncation - 1e-5)
+    np.testing.assert_allclose(got[near], exact[near], rtol=1e-2, atol=1e-2)
+    assert np.all(got[~near] >= mapp.edt_truncation - 2e-2)

@@ -95,7 +95,8 @@ def test_neo_vision_mode(world, net):
             break
     assert bool(state.reached), (bool(state.failed), float(state.steps))
     assert float(state.metrics[2]) < 1e-3  # collision-free on the real world
-    assert float(jnp.sum(state.emap.occupancy)) > 0  # flew on a sensed map
+    from neoplanner_tpu.mapping import occupancy as occ_mod
+    assert float(jnp.sum(occ_mod.to_occupancy(state.logodds, MAPP))) > 0
 
 
 def test_neo_cheaper_iters_than_expert_when_trained(world):

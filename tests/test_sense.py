@@ -152,7 +152,8 @@ def test_vision_closed_loop():
     goal = jnp.array([12.0, 0.0])
     state = env.reset(jax.random.PRNGKey(0), world, goal, pp, mp, mapp,
                       sensing="depth")
-    assert float(jnp.sum(state.emap.occupancy)) == 0.0  # map starts unknown
+    assert float(jnp.sum(occupancy.to_occupancy(state.logodds, mapp))) \
+        == 0.0  # map starts unknown
     step = jax.jit(env.step_segment, static_argnames=(
         "pp", "mp", "sp", "mission_mode", "sensing", "mapp", "cam"))
     for _ in range(30):
@@ -160,7 +161,8 @@ def test_vision_closed_loop():
         if bool(state.reached):
             break
     assert bool(state.reached), (float(state.steps), bool(state.failed))
-    assert float(jnp.sum(state.emap.occupancy)) > 0  # it mapped something
+    assert float(jnp.sum(occupancy.to_occupancy(state.logodds, mapp))) \
+        > 0  # it mapped something
     # no collision en route: collision term of the metric stays ~0
     assert float(state.metrics[2]) < 1e-3
 
@@ -195,3 +197,75 @@ def test_insert_depth_2d_matches_3d_projection():
     # no cell occupied in 2d that 3d considers carved-free (surface agreement)
     conflict = (occ2 > 0.5) & (np.asarray(lo3) < -0.5)
     assert conflict.sum() == 0
+
+
+def test_pallas_renderer_matches_xla():
+    """The fused Pallas trace kernel (sense/raycast_pallas.py) renders the
+    same depth image as the XLA renderer, including cylinders, ground and
+    max-range pixels, under env-batched vmap."""
+    from neoplanner_tpu.sense import raycast_pallas
+
+    worlds = scenegen.generate_batch(jax.random.PRNGKey(3), 3,
+                                     WorldParams(num_boxes=8))
+    # make one primitive a cylinder in every env
+    worlds = worlds.replace(shape=worlds.shape.at[:, 0].set(SHAPE_CYLINDER))
+    pos = jnp.array([[0.0, 0.0, 2.0], [2.0, 1.0, 1.5], [5.0, -2.0, 2.5]])
+    quat = jax.vmap(frames.quat_from_yaw)(jnp.array([0.0, 0.7, -2.1]))
+
+    want = jax.vmap(lambda w, p, q: raycast.render_depth(w, p, q, CAM)
+                    )(worlds, pos, quat)
+    got = jax.vmap(lambda w, p, q: raycast_pallas.render_depth(
+        w, p, q, CAM, interpret=True))(worlds, pos, quat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def _binarize(lo, mp):
+    return np.asarray(occupancy.to_occupancy(lo, mp))
+
+
+def _iou(a, b):
+    inter = float((a * b).sum())
+    union = float(((a + b) > 0).sum())
+    return inter / max(union, 1.0)
+
+
+def test_fusion_map_agreement():
+    """Map-agreement bounds between the three fusion backends over a short
+    scripted flight (VERDICT round-2 item 7: turn 'quality-neutral' into an
+    assertion). The dense polar kernel must produce a superset of the
+    scatter form's carving (it fixes the 48-sample ray's undersampling) and
+    agree with it on occupancy; the 2-D forms must agree with the full 3-D
+    carving's projected occupancy."""
+    from neoplanner_tpu.mapping import occupancy_pallas
+
+    mp = MapParams(width=128, height=96, origin_x=-2.0, origin_y=-4.8)
+    world = scenegen.generate(jax.random.PRNGKey(2), WorldParams(num_boxes=8))
+    poses = [jnp.array([0.5 + 0.8 * i, 0.2 * i, 2.0]) for i in range(5)]
+    yaws = [0.0, 0.1, -0.1, 0.2, 0.0]
+
+    lo_2d = lo_dense = lo_3d = occupancy.logodds_init(mp)
+    for pos, yaw in zip(poses, yaws):
+        quat = frames.quat_from_yaw(jnp.asarray(yaw))
+        depth = raycast.render_depth(world, pos, quat, CAM)
+        lo_2d = occupancy.insert_depth_2d(lo_2d, depth, pos, quat, CAM, mp)
+        lo_dense = occupancy_pallas.insert_depth_2d_dense(
+            lo_dense, depth, pos, quat, CAM, mp, interpret=True)
+        lo_3d = occupancy.insert_depth(lo_3d, depth, pos, quat, CAM, mp)
+
+    occ_2d, occ_dense, occ_3d = (_binarize(x, mp)
+                                 for x in (lo_2d, lo_dense, lo_3d))
+    # occupancy agreement: the surfaces all three see are the same cells
+    assert _iou(occ_dense, occ_2d) > 0.6, _iou(occ_dense, occ_2d)
+    assert _iou(occ_2d, occ_3d) > 0.4, _iou(occ_2d, occ_3d)
+    # what 2d marks occupied, 3d must essentially contain (the 2-D forms keep
+    # only the nearest per-column hit, a subset of 3-D's surface cells)
+    if occ_2d.sum():
+        assert (occ_2d * occ_3d).sum() / occ_2d.sum() > 0.8
+
+    # dense carving is a (near-)superset of scatter carving: the scatter ray
+    # undersamples beyond carve_samples*res
+    free_2d = np.asarray(lo_2d) < -1e-3
+    free_dense = np.asarray(lo_dense) < -1e-3
+    assert (free_2d & free_dense).sum() / max(free_2d.sum(), 1) > 0.9
+    assert free_dense.sum() >= free_2d.sum()
