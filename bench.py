@@ -13,9 +13,10 @@ Prints exactly one JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extras": ...}
 
 extras carry the SURVEY §5 observability obligations: per-stage wall times
-(plan/track) and a FLOP count + MFU for roofline context (the segment is
-VPU-dominated f32 work; MFU is quoted against the v5e bf16 MXU peak, so it is
-a deliberately conservative utilization bound).
+(plan/track) and, for the whole segment AND each stage, the achieved
+FLOP/s + HBM GB/s against all three v5e peaks (MXU bf16, VPU f32 estimate,
+HBM bandwidth) plus which bound binds — the segment is VPU/HBM work, so
+MXU-peak MFU alone would understate utilization ~25x.
 
 Env knobs: BENCH_ENVS (default 4096), BENCH_SEGMENTS (default 6),
 BENCH_MAX_ITERS (default 24), BENCH_MAX_LS (default 4; marathon-quality-equal
@@ -43,18 +44,47 @@ from neoplanner_tpu.parallel import mesh as pmesh  # noqa: E402
 from neoplanner_tpu.sim import env  # noqa: E402
 from neoplanner_tpu.world import scenegen  # noqa: E402
 
-# v5e per-chip peak: 197 TFLOP/s bf16 (MXU); the roofline denominator
-_PEAK_FLOPS = 197e12
+# v5e per-chip peaks, the roofline denominators:
+#   MXU:  197 TFLOP/s bf16 (matmul path)
+#   VPU:  ~7.7 TFLOP/s f32 — 940 MHz x 4 SIMD subunits x (8x128) lanes x 2
+#         (FMA); the elementwise path most of this workload runs on
+#   HBM:  ~819 GB/s
+_PEAK_MXU = 197e12
+_PEAK_VPU = 7.7e12
+_PEAK_HBM = 819e9
 
 
-def _flops_of(compiled) -> float:
+def _cost_of(compiled):
+    """(flops, bytes_accessed) from the executable's own cost analysis."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
+
+
+def _roofline(flops, nbytes, seconds, n_dev, prefix, extras):
+    """Achieved rates vs each peak + which bound binds (SURVEY §5 / round-2
+    VERDICT item 4: report the binding roofline, not MXU-peak MFU alone)."""
+    if seconds <= 0:
+        return
+    fps = flops / seconds
+    bps = nbytes / seconds
+    util = {
+        "mxu": 100.0 * fps / (_PEAK_MXU * n_dev),
+        "vpu": 100.0 * fps / (_PEAK_VPU * n_dev),
+        "hbm": 100.0 * bps / (_PEAK_HBM * n_dev),
+    }
+    extras[f"{prefix}gflops_per_sec"] = round(fps / 1e9, 1)
+    extras[f"{prefix}hbm_gbps"] = round(bps / 1e9, 1)
+    extras[f"{prefix}mfu_bf16_peak_pct"] = round(util["mxu"], 3)
+    extras[f"{prefix}vpu_util_pct"] = round(util["vpu"], 2)
+    extras[f"{prefix}hbm_util_pct"] = round(util["hbm"], 2)
+    extras[f"{prefix}binding_bound"] = max(
+        ("vpu", "hbm"), key=lambda k: util[k])
 
 
 def main():
@@ -115,7 +145,7 @@ def main():
     t0 = time.time()
     compiled = step.lower(states).compile()
     compile_s = time.time() - t0
-    seg_flops = _flops_of(compiled)
+    seg_flops, seg_bytes = _cost_of(compiled)
 
     def fetch(s):
         # IMPORTANT: under the axon tunnel block_until_ready can return before
@@ -152,10 +182,9 @@ def main():
         "missions_done": int(np.asarray(states.missions_done).sum()),
         "missions_ok": int(np.asarray(states.missions_ok).sum()),
         "segment_gflops": round(seg_flops / 1e9, 2),
-        "device_gflops_per_sec": round(seg_flops * K / dt / 1e9, 1),
-        "mfu_bf16_peak_pct": round(100.0 * seg_flops * K / dt
-                                   / (_PEAK_FLOPS * n_dev), 3),
+        "segment_gbytes": round(seg_bytes / 1e9, 2),
     }
+    _roofline(seg_flops * K, seg_bytes * K, dt, n_dev, "", extras)
 
     if breakdown:
         # per-stage wall times (SURVEY §5 tracing): the replan stage (NN init +
@@ -171,6 +200,8 @@ def main():
 
         for name, fn in (("plan", plan_all), ("track", track_all)):
             f = jax.jit(fn)
+            fc = f.lower(states).compile()
+            st_flops, st_bytes = _cost_of(fc)
 
             def fetch_out(out):
                 leaf = jax.tree_util.tree_leaves(out)[0]
@@ -180,7 +211,10 @@ def main():
             t0 = time.time()
             for _ in range(3):
                 fetch_out(f(states))
-            extras[f"{name}_ms"] = round((time.time() - t0) / 3 * 1e3, 2)
+            st_s = (time.time() - t0) / 3
+            extras[f"{name}_ms"] = round(st_s * 1e3, 2)
+            # per-stage roofline: which peak the stage actually sits against
+            _roofline(st_flops, st_bytes, st_s, n_dev, f"{name}_", extras)
 
     result = {
         "metric": f"aggregate sim+replan steps/sec (closed loop, {planner} planner)",

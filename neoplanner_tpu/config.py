@@ -123,6 +123,12 @@ class MissionParams:
     hover_height: float = 2.0
     local_target_retries: int = 10     # randomized local-target retry ladder
     move_vel_frac: float = 0.8         # local-target speed = 0.8 * v_max
+    # random-mission goal vetting: > 0 nudges sampled goals to the nearest
+    # spot with at least this ground-truth clearance (the benchmark-harness
+    # protocol; examples/multi_run.py does the same for its fixed goal).
+    # 0 = the reference's raw sampler (manager_node.py:179-193), which drops
+    # ~24% of far-leg goals within safe_dis of an obstacle
+    goal_clear_dis: float = 0.0
 
     @property
     def steps_per_replan(self) -> int:

@@ -47,9 +47,14 @@ _E_B = 8   # envs per program
 
 def _make_kernel(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss, l_min,
                  l_max):
+    qw = max(cw, 128)          # gather shape: one 128-lane vreg per row
+    n_chunks = Wt // 128
+
     def kernel(win_ref, tabs_ref, sc_ref, out_ref):
-        iota_r = jax.lax.broadcasted_iota(jnp.float32, (ch, Wt), 0)
-        iota_c = jax.lax.broadcasted_iota(jnp.float32, (ch, Wt), 1)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ch, qw),
+                                          0).astype(jnp.float32)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (ch, qw), 1)
+        iota_cf = iota_c.astype(jnp.float32)
         for e in range(E_b):
             ox = sc_ref[e, 0]
             oy = sc_ref[e, 1]
@@ -57,7 +62,7 @@ def _make_kernel(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss, l_min,
             py = sc_ref[e, 3]
             cp = sc_ref[e, 4]
             sp = sc_ref[e, 5]
-            dx = ox + iota_c * res - px              # (ch, Wt)
+            dx = ox + iota_cf * res - px             # (ch, qw)
             dy = oy + iota_r * res - py
             dcx = cp * dx + sp * dy                  # camera-frame forward
             dcy = -sp * dx + cp * dy                 # camera-frame left
@@ -67,17 +72,39 @@ def _make_kernel(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss, l_min,
             valid = (dcx > 1e-6) & (uidx >= 0) & (uidx <= Wcam - 1) \
                 & (iota_c < cw)
             uq = jnp.clip(uidx, 0, Wt - 1)
-            tab_h = jnp.broadcast_to(tabs_ref[e, 0:1, :], (ch, Wt))
-            tab_c = jnp.broadcast_to(tabs_ref[e, 1:2, :], (ch, Wt))
-            rhit = jnp.take_along_axis(tab_h, uq, axis=1)
-            rcarve = jnp.take_along_axis(tab_c, uq, axis=1)
+            tab = tabs_ref[e]           # (2 * n_chunks, 128): rows =
+            #                             [hit chunks..., carve chunks...]
+            # tpu.dynamic_gather reads within a single 128-lane vreg: look
+            # the polar tables up 128 columns at a time and select by range
+            rhit = jnp.zeros((ch, qw), jnp.float32)
+            rcarve = jnp.zeros((ch, qw), jnp.float32)
+            for c in range(n_chunks):
+                src_h = jnp.broadcast_to(
+                    jax.lax.slice(tab, (c, 0), (c + 1, 128)), (ch, 128))
+                src_c = jnp.broadcast_to(
+                    jax.lax.slice(tab, (n_chunks + c, 0),
+                                  (n_chunks + c + 1, 128)), (ch, 128))
+                idx_c = jnp.clip(uq - c * 128, 0, 127)
+                if qw > 128:
+                    idx_c = jax.lax.slice(idx_c, (0, 0), (ch, 128))
+                g_h = jnp.take_along_axis(src_h, idx_c, axis=1)
+                g_c = jnp.take_along_axis(src_c, idx_c, axis=1)
+                if qw > 128:
+                    pad = jnp.zeros((ch, qw - 128), jnp.float32)
+                    g_h = jnp.concatenate([g_h, pad], axis=1)
+                    g_c = jnp.concatenate([g_c, pad], axis=1)
+                sel = (uq >= c * 128) & (uq < (c + 1) * 128)
+                rhit = jnp.where(sel, g_h, rhit)
+                rcarve = jnp.where(sel, g_c, rcarve)
             upd = jnp.where(
                 valid & (r_cell > 0.0) & (r_cell < rcarve - res),
                 l_miss, 0.0)
             upd = upd + jnp.where(
                 valid & (rhit < occupancy.BIG)
                 & (jnp.abs(r_cell - rhit) <= 0.5 * res), l_hit, 0.0)
-            out_ref[e] = jnp.clip(win_ref[e] + upd[:, :cw], l_min, l_max)
+            upd_cw = (upd if cw == qw
+                      else jax.lax.slice(upd, (0, 0), (ch, cw)))
+            out_ref[e] = jnp.clip(win_ref[e] + upd_cw, l_min, l_max)
 
     return kernel
 
@@ -90,12 +117,15 @@ def _fuse_call(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss, l_min, l_max,
 
     def call(wins, tabs, sc):
         E = wins.shape[0]
+        n_rows = 2 * (Wt // 128)
+        # chunk the (2, Wt) polar tables onto sublanes: (2*n_chunks, 128)
+        tabs = tabs.reshape(E, n_rows, 128)
         ep = E + ((-E) % E_b)
         if ep != E:
             wins = jnp.concatenate(
                 [wins, jnp.zeros((ep - E, ch, cw), wins.dtype)])
             tabs = jnp.concatenate(
-                [tabs, jnp.zeros((ep - E, 2, Wt), tabs.dtype)])
+                [tabs, jnp.zeros((ep - E, n_rows, 128), tabs.dtype)])
             sc = jnp.concatenate([sc, jnp.zeros((ep - E, 8), sc.dtype)])
         out = pl.pallas_call(
             kernel,
@@ -103,7 +133,7 @@ def _fuse_call(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss, l_min, l_max,
             in_specs=[
                 pl.BlockSpec((E_b, ch, cw), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((E_b, 2, Wt), lambda i: (i, 0, 0),
+                pl.BlockSpec((E_b, n_rows, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((E_b, 8), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -124,8 +154,10 @@ def _fuse_call(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss, l_min, l_max,
 
 
 def _window_cells(cam: CameraParams, mp: MapParams):
+    # capped at 128 cells (12.8 m at 0.1 m): the per-row gather works on one
+    # 128-lane vreg, and 128 covers the 6 m sensor range with margin
     c = 2 * int(math.ceil(cam.max_range / mp.resolution)) + 8
-    return min(c, mp.height), min(c, mp.width)
+    return min(c, mp.height, 128), min(c, mp.width, 128)
 
 
 def insert_depth_2d_dense(logodds: jnp.ndarray, depth: jnp.ndarray,
@@ -142,7 +174,7 @@ def _fuse_flat(logodds, depth, pos, quat, cam: CameraParams, mp: MapParams,
                interpret: bool):
     E, H, W = logodds.shape
     ch, cw = _window_cells(cam, mp)
-    Wt = max(cam.width, cw)
+    Wt = -(-cam.width // 128) * 128    # table padded to whole 128-lane vregs
 
     r_hit, r_carve, _ = jax.vmap(
         lambda d, p, q: occupancy.polar_columns(d, p, q, cam, mp)

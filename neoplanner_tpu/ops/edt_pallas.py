@@ -53,15 +53,30 @@ def _pass2_kernel(g2_ref, out_ref):
     out_ref[:, :] = jax.lax.fori_loop(0, H // _KB, body, acc0)
 
 
-def _make_banded_kernel(radius: int, r2: float):
+def _make_banded_kernel(r8: int, r2: float):
+    """Like _pass2_kernel, but the k-contraction only visits the aligned
+    8-row blocks covering the band [i-R, i+R] around the output block (all
+    loads land on multiples of BLOCK_I — Mosaic requires provably aligned
+    sublane indices). Rows beyond the band contribute d² > R² candidates,
+    which only tighten the min toward the exact transform — still a valid
+    truncated field."""
+    n_blocks = (BLOCK_I + 2 * r8) // BLOCK_I
+
     def kernel(g2p_ref, out_ref):
         ib = pl.program_id(0)
         i0 = ib * BLOCK_I
         W = out_ref.shape[1]
+        # output rows in padded coordinates: i0 + r8 + r, r in [0, BLOCK_I)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (BLOCK_I, 1, 1), 0)
+                + r8).astype(jnp.float32)
+        kof = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK_I, 1),
+                                       1).astype(jnp.float32)
         acc = jnp.full((BLOCK_I, W), r2, dtype=jnp.float32)
-        for d in range(-radius, radius + 1):
-            g = g2p_ref[pl.ds(i0 + d + radius, BLOCK_I), :]
-            acc = jnp.minimum(acc, g + float(d * d))
+        for j in range(n_blocks):
+            dk = rows - (float(j * BLOCK_I) + kof)       # (B, B, 1)
+            g = g2p_ref[pl.ds(i0 + j * BLOCK_I, BLOCK_I), :]
+            cand = dk * dk + g[None, :, :]               # (B, B, W)
+            acc = jnp.minimum(acc, jnp.min(cand, axis=1))
         out_ref[:, :] = acc
 
     return kernel
@@ -77,22 +92,22 @@ def pass2_banded(g2: jnp.ndarray, radius: int,
     H, W = g2.shape
     assert H % BLOCK_I == 0, H
     r2 = float(radius * radius)
-    g2p = jnp.concatenate([
-        jnp.full((radius, W), 1e9, jnp.float32),
-        jnp.minimum(g2.astype(jnp.float32), r2),
-        jnp.full((radius, W), 1e9, jnp.float32)])
+    r8 = -(-radius // BLOCK_I) * BLOCK_I
+    big = jnp.full((r8, W), 1e9, jnp.float32)
+    g2p = jnp.concatenate([big, jnp.minimum(g2.astype(jnp.float32), r2), big])
     return pl.pallas_call(
-        _make_banded_kernel(radius, r2),
+        _make_banded_kernel(r8, r2),
         interpret=interpret,
         grid=(H // BLOCK_I,),
-        in_specs=[pl.BlockSpec((H + 2 * radius, W), lambda i: (0, 0),
+        in_specs=[pl.BlockSpec((H + 2 * r8, W), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((BLOCK_I, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
-        cost_estimate=pl.CostEstimate(flops=2 * (2 * radius + 1) * H * W,
-                                      bytes_accessed=2 * H * W * 4,
-                                      transcendentals=0),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (BLOCK_I + 2 * r8) * H * W,
+            bytes_accessed=2 * H * W * 4,
+            transcendentals=0),
     )(g2p)
 
 

@@ -61,6 +61,14 @@ from neoplanner_tpu.plan.costs_pallas import (_NB, _static, common_fwd,
 # per-grid-step overhead; the unrolled per-lane loop bounds compile size
 _K2_LANES = int(_os.environ.get("NEO_K2_LANES", "128"))
 
+# Mosaic lowers f32 MXU matmuls through bf16 passes by default (~3e-3
+# relative error on the sampled distances, which the hinge^2 chain amplifies
+# to ~2e-2 on gradients); 'highest' forces full-precision passes.
+# NEO_K2_PRECISION=default trades that for ~3x cheaper sampling matmuls.
+_K2_PRECISION = (jax.lax.Precision.DEFAULT
+                 if _os.environ.get("NEO_K2_PRECISION", "highest") == "default"
+                 else jax.lax.Precision.HIGHEST)
+
 
 # ---------------------------------------------------------------------------
 # K1 / K3: flat-lane kernels (shared MINCO machinery)
@@ -175,27 +183,35 @@ def _make_k2(S, L, E_b, Hw, Ww, with_grad):
     result for d/d(col)."""
 
     def kernel(u_ref, v_ref, win_ref, *out_refs):
-        iota_h = jax.lax.broadcasted_iota(jnp.float32, (1, Hw), 1)
-        iota_w = jax.lax.broadcasted_iota(jnp.float32, (1, Ww), 1)
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, Hw),
+                                          1).astype(jnp.float32)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, Ww),
+                                          1).astype(jnp.float32)
+        u_all = u_ref[...]
+        v_all = v_ref[...]
         dis_cols = []
         ddu_cols = []
         ddv_cols = []
-        for lane in range(E_b * L):
-            win_e = win_ref[lane // L]
-            u_l = u_ref[:, lane:lane + 1]                    # (S, 1)
-            v_l = v_ref[:, lane:lane + 1]
-            du = u_l - iota_h                                # (S, Hw)
-            dv = v_l - iota_w                                # (S, Ww)
-            wr = jnp.maximum(1.0 - jnp.abs(du), 0.0)
-            wc = jnp.maximum(1.0 - jnp.abs(dv), 0.0)
-            m = jnp.dot(wr, win_e, preferred_element_type=jnp.float32)
-            dis_cols.append(jnp.sum(m * wc, axis=1, keepdims=True))
-            if with_grad:
-                dwr = jnp.where(jnp.abs(du) < 1.0, -jnp.sign(du), 0.0)
-                dwc = jnp.where(jnp.abs(dv) < 1.0, -jnp.sign(dv), 0.0)
-                mu = jnp.dot(dwr, win_e, preferred_element_type=jnp.float32)
-                ddu_cols.append(jnp.sum(mu * wc, axis=1, keepdims=True))
-                ddv_cols.append(jnp.sum(m * dwc, axis=1, keepdims=True))
+        for e in range(E_b):
+            win_e = win_ref[e]          # one VMEM value per env, not per lane
+            for li in range(L):
+                lane = e * L + li
+                u_l = jax.lax.slice(u_all, (0, lane), (S, lane + 1))  # (S, 1)
+                v_l = jax.lax.slice(v_all, (0, lane), (S, lane + 1))
+                du = u_l - iota_h                                # (S, Hw)
+                dv = v_l - iota_w                                # (S, Ww)
+                wr = jnp.maximum(1.0 - jnp.abs(du), 0.0)
+                wc = jnp.maximum(1.0 - jnp.abs(dv), 0.0)
+                m = jnp.dot(wr, win_e, precision=_K2_PRECISION,
+                            preferred_element_type=jnp.float32)
+                dis_cols.append(jnp.sum(m * wc, axis=1, keepdims=True))
+                if with_grad:
+                    dwr = jnp.where(jnp.abs(du) < 1.0, -jnp.sign(du), 0.0)
+                    dwc = jnp.where(jnp.abs(dv) < 1.0, -jnp.sign(dv), 0.0)
+                    mu = jnp.dot(dwr, win_e, precision=_K2_PRECISION,
+                                 preferred_element_type=jnp.float32)
+                    ddu_cols.append(jnp.sum(mu * wc, axis=1, keepdims=True))
+                    ddv_cols.append(jnp.sum(m * dwc, axis=1, keepdims=True))
         out_refs[0][...] = jnp.concatenate(dis_cols, axis=1)
         if with_grad:
             out_refs[1][...] = jnp.concatenate(ddu_cols, axis=1)
@@ -205,10 +221,15 @@ def _make_k2(S, L, E_b, Hw, Ww, with_grad):
 
 
 def _k2_call(u, v, win, L, with_grad, interpret):
+    import math as _math
+
     S, N = u.shape
     Ew, Hw, Ww = win.shape
     assert N == Ew * L, (N, Ew, L)
-    E_b = max(1, _K2_LANES // L) if L < _K2_LANES else 1
+    # Mosaic requires the lane block (E_b * L) to be a multiple of 128
+    E_b = 128 // _math.gcd(L, 128)
+    while E_b * L < min(_K2_LANES, 512) and (2 * E_b * L) <= 512:
+        E_b *= 2
     ewp = Ew + ((-Ew) % E_b)
     if ewp != Ew:
         win = jnp.concatenate(
@@ -231,6 +252,8 @@ def _k2_call(u, v, win, L, with_grad, interpret):
         out_specs=tuple([lane_spec] * n_out),
         out_shape=tuple([jax.ShapeDtypeStruct((S, np_), jnp.float32)] * n_out),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=np_ * S * (flops_mm * 2 * Hw * Ww + 4 * (Hw + Ww)),
             bytes_accessed=(ewp * Hw * Ww + np_ * S * (2 + n_out)) * 4,

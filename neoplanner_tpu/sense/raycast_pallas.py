@@ -50,9 +50,9 @@ def _make_kernel(K: int):
         dx = dirs_ref[0]
         dy = dirs_ref[1]
         dz = dirs_ref[2]
-        ox = org_ref[0, 0]
-        oy = org_ref[0, 1]
-        oz = org_ref[0, 2]
+        ox = org_ref[0, 0, 0]
+        oy = org_ref[0, 0, 1]
+        oz = org_ref[0, 0, 2]
 
         def safe_inv(d):
             return 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
@@ -63,14 +63,14 @@ def _make_kernel(K: int):
 
         t = jnp.full_like(dx, _INF)
         for k in range(K):
-            cx = prims_ref[0, k * 8 + 0]
-            cy = prims_ref[0, k * 8 + 1]
-            cz = prims_ref[0, k * 8 + 2]
-            hx = prims_ref[0, k * 8 + 3]
-            hy = prims_ref[0, k * 8 + 4]
-            hz = prims_ref[0, k * 8 + 5]
-            is_cyl = prims_ref[0, k * 8 + 6]
-            active = prims_ref[0, k * 8 + 7]
+            cx = prims_ref[0, 0, k * 8 + 0]
+            cy = prims_ref[0, 0, k * 8 + 1]
+            cz = prims_ref[0, 0, k * 8 + 2]
+            hx = prims_ref[0, 0, k * 8 + 3]
+            hy = prims_ref[0, 0, k * 8 + 4]
+            hz = prims_ref[0, 0, k * 8 + 5]
+            is_cyl = prims_ref[0, 0, k * 8 + 6]
+            active = prims_ref[0, 0, k * 8 + 7]
 
             # slab test (raycast._ray_box)
             lox = (cx - hx - ox) * invx
@@ -148,9 +148,12 @@ def _trace_batch(dirs: jnp.ndarray, org: jnp.ndarray, prims: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((3, tile), lambda e, i, _T=n_tiles: (0, e * _T + i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda e, i: (e, 0),
+            # Mosaic constrains the last two block dims to (x8, x128) or
+            # shape-equal: give the small per-env tables a leading env axis
+            # so their trailing dims match the array exactly
+            pl.BlockSpec((1, 1, 3), lambda e, i: (e, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, prims.shape[1]), lambda e, i: (e, 0),
+            pl.BlockSpec((1, 1, prims.shape[1]), lambda e, i: (e, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile), lambda e, i, _T=n_tiles:
@@ -161,7 +164,8 @@ def _trace_batch(dirs: jnp.ndarray, org: jnp.ndarray, prims: jnp.ndarray,
                                       bytes_accessed=E * rp * 16
                                       + E * prims.shape[1] * 4,
                                       transcendentals=E * rp * K),
-    )(dirs_t, org.astype(jnp.float32), prims.astype(jnp.float32))
+    )(dirs_t, org.astype(jnp.float32)[:, None, :],
+      prims.astype(jnp.float32)[:, None, :])
     return out.reshape(E, rp)[:, :R]
 
 

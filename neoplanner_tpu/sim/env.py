@@ -77,6 +77,7 @@ class EnvState:
     iter_sum: jnp.ndarray    # int32 total L-BFGS iterations
     missions_done: jnp.ndarray  # int32 completed missions (random mode)
     missions_ok: jnp.ndarray    # int32 of those, reached the goal
+    metric_ok_sum: jnp.ndarray  # () summed weighted metric of the ok missions
     key: jnp.ndarray
 
 
@@ -152,10 +153,15 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
                               mapp.resolution, max_dist=mapp.edt_truncation,
                               lite=True)
 
+    scene = scene_map.build(world, mapp)
     key, k_goal = jax.random.split(key)
     flap = jnp.zeros((), jnp.int32)
     if goal is None:
-        goal, flap = missions.sample_random_goal(k_goal, flap)
+        # goals are vetted against the ground-truth scene in every sensing
+        # mode (the benchmark harness knows the world even when the drone
+        # only senses it)
+        goal, flap = missions.sample_clear_goal(k_goal, flap, scene,
+                                                mp.goal_clear_dis)
     goal = jnp.asarray(goal)
 
     if start_pos is None:
@@ -167,7 +173,7 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
         jnp.int32)
 
     return EnvState(
-        drone=drone, emap=emap, scene=scene_map.build(world, mapp), world=world,
+        drone=drone, emap=emap, scene=scene, world=world,
         # log-odds fusion state only exists in onboard sensing mode
         logodds=(jnp.zeros((1, 1)) if sensing == "gt"
                  else occupancy.logodds_init(mapp)),
@@ -185,7 +191,8 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
         has_carry=jnp.asarray(False),
         plan_count=jnp.zeros((), jnp.int32), iter_sum=jnp.zeros((), jnp.int32),
         missions_done=jnp.zeros((), jnp.int32),
-        missions_ok=jnp.zeros((), jnp.int32), key=key)
+        missions_ok=jnp.zeros((), jnp.int32),
+        metric_ok_sum=jnp.zeros(()), key=key)
 
 
 def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
@@ -365,12 +372,28 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
                  sensing: str = "gt", mapp: Optional[MapParams] = None,
                  cam: Optional[CameraParams] = None, planner: str = "expert",
                  net_vars=None, np_cfg=None, plan_map: str = "grid",
-                 replan_mode: str = "periodic", fuse_frames: int = 1):
+                 replan_mode: str = "periodic", fuse_frames: int = 1,
+                 goal_stream: Optional[jnp.ndarray] = None,
+                 esdf_rate: int = 1):
     """One replan period: sense (in 'depth' mode), (maybe) replan, then track
     steps_per_replan setpoints. fuse_frames > 1 (depth mode) fuses that many
     depth frames per segment — one at replan time plus fuse_frames-1
     interleaved with tracking — approximating octomap_server's sensor-rate
-    insertion; the ESDF rebuild stays once per segment.
+    insertion; the ESDF rebuild stays once per segment unless esdf_rate > 1.
+
+    goal_stream (C, 2), when given, delivers C goal updates *within* the
+    segment (the reference tracker's asynchronous goal topic,
+    tracker_planner_node.py:160-162): the replan at segment start consumes
+    the latest stored goal (set by the previous segment's final update), and
+    tracking chunks switch the goal mid-segment, so the reached check and the
+    next replan see sub-period target motion. C must equal fuse_frames when
+    both chunk the segment.
+
+    esdf_rate > 1 (depth mode, requires fuse_frames chunking) also rebuilds
+    the truncated ESDF after every interleaved frame fusion, so the 10 Hz
+    metric and local-target escape query a sensor-rate field — the
+    reference's per-message recompute (esdf.py:29-33, SURVEY §3.1 hot
+    loop 3) instead of a once-per-segment snapshot.
 
     mission_mode 'manual': stop at PHASE_DONE when reached/failed.
     mission_mode 'random': sample the next goal and continue (the data-collection
@@ -452,21 +475,36 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
     # the map only at replan time — fuse_frames > 1 reproduces that cadence;
     # the ESDF itself is rebuilt once per segment, before the replan above)
     drone_at_plan = state.drone   # record-time drone state for SegmentInfo
-    if sensing == "depth" and fuse_frames > 1:
-        if spr % fuse_frames != 0:
-            raise ValueError(f"fuse_frames={fuse_frames} must divide "
+    n_chunks = fuse_frames if sensing == "depth" else 1
+    if goal_stream is not None:
+        if n_chunks > 1 and goal_stream.shape[0] != n_chunks:
+            raise ValueError(f"goal_stream length {goal_stream.shape[0]} "
+                             f"must equal fuse_frames={n_chunks}")
+        n_chunks = max(n_chunks, goal_stream.shape[0])
+    if esdf_rate > 1 and n_chunks <= 1:
+        raise ValueError("esdf_rate > 1 requires fuse_frames chunking "
+                         "(sensing='depth', fuse_frames > 1)")
+    if n_chunks > 1:
+        if spr % n_chunks != 0:
+            raise ValueError(f"{n_chunks} chunks must divide "
                              f"steps_per_replan={spr}")
-        chunk = spr // fuse_frames
+        chunk = spr // n_chunks
         traces = []
-        for c in range(fuse_frames):
+        for c in range(n_chunks):
+            if goal_stream is not None:
+                state = state.replace(goal=goal_stream[c])
             drone, reached, steps, metrics, metric_pos, trace = _track_segment(
                 state, track_cmds[c * chunk:(c + 1) * chunk], pp, mp, sp,
                 plan_map, i0=c * chunk)
             state = state.replace(drone=drone, reached=reached, steps=steps,
                                   metrics=metrics, metric_pos=metric_pos)
             traces.append(trace)
-            if c < fuse_frames - 1:
+            if sensing == "depth" and fuse_frames > 1 \
+                    and c < fuse_frames - 1:
                 state = fuse_frame(state, mapp, cam)
+                if esdf_rate > 1 and (c + 1) % max(
+                        fuse_frames // esdf_rate, 1) == 0:
+                    state = rebuild_esdf(state, mapp)
         trace = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *traces)
     else:
@@ -494,8 +532,11 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
         wm = jnp.dot(metrics, jnp.array(METRIC_WEIGHTS))
         mission_ok = reached & (wm <= 10.0 * pp.collision_cost_tol)
         key, k_goal = jax.random.split(state.key)
-        new_goal, new_flap = missions.sample_random_goal(k_goal, state.flap)
+        new_goal, new_flap = missions.sample_clear_goal(
+            k_goal, state.flap, state.scene, mp.goal_clear_dis)
         state = state.replace(
+            metric_ok_sum=state.metric_ok_sum
+            + jnp.where(done & mission_ok, wm, 0.0),
             goal=jnp.where(done, new_goal, state.goal),
             flap=jnp.where(done, new_flap, state.flap),
             reached=jnp.where(done, False, state.reached),

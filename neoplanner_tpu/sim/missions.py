@@ -94,3 +94,27 @@ def sample_random_goal(key: jnp.ndarray, flap: jnp.ndarray):
     y = 4.0 * (jax.random.uniform(key) - 0.6)
     x = jnp.where(flap == 0, -1.0, 26.0)
     return jnp.stack([x, y]), 1 - flap
+
+
+def sample_clear_goal(key: jnp.ndarray, flap: jnp.ndarray, pmap,
+                      clear_dis: float):
+    """sample_random_goal, nudged to the nearest clear spot when it lands
+    within ``clear_dis`` of an obstacle (same ring search as the sweep
+    harness, examples/multi_run.py): the reference's sampler drops ~24% of
+    far-leg goals inside safe_dis (BASELINE.md round 2), where any planner —
+    the reference's included — correctly refuses; vetting goals against the
+    ground-truth map separates goal-placement failures from planner failures.
+    clear_dis <= 0 keeps the raw reference sampler."""
+    goal, flap = sample_random_goal(key, flap)
+    if clear_dis <= 0.0:
+        return goal, flap
+    rs = jnp.arange(0.0, 4.1, 0.5)
+    angs = jnp.linspace(0.0, 2.0 * jnp.pi, 8, endpoint=False)
+    offs = jnp.stack([rs[:, None] * jnp.cos(angs)[None, :],
+                      rs[:, None] * jnp.sin(angs)[None, :]],
+                     axis=-1).reshape(-1, 2)            # (72, 2), r-major
+    cand = goal[None, :] + offs
+    dis, _ = query.distance(pmap, cand)
+    ok = dis > clear_dis
+    idx = jnp.argmax(ok)                                # first clear candidate
+    return jnp.where(jnp.any(ok), cand[idx], goal), flap

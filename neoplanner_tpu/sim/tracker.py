@@ -46,6 +46,33 @@ def track_segment(state: env.EnvState, target: jnp.ndarray, pp: PlannerParams,
                             planner, net_vars, np_cfg, plan_map)
 
 
+def track_segment_stream(state: env.EnvState, targets: jnp.ndarray,
+                         pp: PlannerParams, mp: MissionParams, sp: SimParams,
+                         sensing: str = "gt",
+                         mapp: Optional[MapParams] = None,
+                         cam: Optional[CameraParams] = None,
+                         planner: str = "expert", net_vars=None, np_cfg=None,
+                         plan_map: str = "grid"):
+    """One replan period with C mid-segment target updates: targets (C, 2).
+
+    Models the reference's asynchronous goal topic
+    (tracker_planner_node.py:160-162, 284-295): the replan consumes the
+    *latest stored* target (whatever the previous segment's final update
+    left in state.goal — message-arrival semantics rather than
+    period-boundary quantization), and the stored goal advances chunk by
+    chunk through the segment so the next replan starts from the freshest
+    observation."""
+    state = state.replace(reached=jnp.asarray(False),
+                          near_goal=jnp.asarray(False),
+                          failed=jnp.asarray(False),
+                          steps=jnp.zeros((), jnp.int32),
+                          phase=jnp.asarray(env.missions.PHASE_MISSION,
+                                            jnp.int32))
+    return env.step_segment(state, pp, mp, sp, "manual", sensing, mapp, cam,
+                            planner, net_vars, np_cfg, plan_map,
+                            goal_stream=targets)
+
+
 def track_rollout(state: env.EnvState, targets: jnp.ndarray, pp: PlannerParams,
                   mp: MissionParams, sp: SimParams, **kwargs):
     """Chase a per-segment target path: targets (S, 2). Returns (final state,
