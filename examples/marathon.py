@@ -88,7 +88,9 @@ def main():
                 plan_map=plan_map)))
             states = reset(keys, worlds)
 
-            @jax.jit
+            from functools import partial
+
+            @partial(jax.jit, donate_argnums=0)
             def step(s, _p=planner, _m=plan_map, _s=sensing, _f=fuse,
                      _mapp=mapp):
                 return jax.vmap(lambda x: env.step_segment(

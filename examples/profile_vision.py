@@ -37,17 +37,17 @@ def main():
     K = int(os.environ.get("VIS_SEGMENTS", 4))
 
     from neoplanner_tpu.learn import train as train_mod
-    net_vars, np_cfg = train_mod.load_checkpoint(
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "artifacts", "planner_net_smallconv"))
+    net_vars, np_cfg = train_mod.load_checkpoint(os.environ.get(
+        "VIS_NET", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "artifacts", "planner_net_smallconv")))
     cam = CameraParams(width=np_cfg.img_width, height=np_cfg.img_height)
     pp = PlannerParams(max_iters=24, samples_per_piece=24, retry_num=2,
-                       extra_lateral_scales=(),
+                       extra_lateral_scales=(), max_ls=4,
                        esdf_interp=os.environ.get("VIS_INTERP", "mxu"))
     mp, sp = MissionParams(), SimParams()
     mapp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6,
                      edt_truncation=trunc,
-                     fusion=os.environ.get("VIS_FUSION", "2d"))
+                     fusion=os.environ.get("VIS_FUSION", "2d_dense"))
     wp = WorldParams(num_boxes=10)
 
     worlds = scenegen.generate_batch(jax.random.PRNGKey(0), B, wp)
@@ -57,7 +57,11 @@ def main():
     _ = float(np.asarray(states.steps).sum())
     print(f"B={B} trunc={trunc} fuse={fuse}: reset done", flush=True)
 
-    @jax.jit
+    from functools import partial
+
+    # donated state: the steady-state loop reuses the ~300 KB/env buffers
+    # (CLAUDE.md rule 5); at B=4096 the undonated copy is what OOMs
+    @partial(jax.jit, donate_argnums=0)
     def step(s):
         return jax.vmap(lambda x: env.step_segment(
             x, pp, mp, sp, mission_mode="random", sensing="depth", mapp=mapp,
@@ -104,7 +108,7 @@ def main():
 
     @jax.jit
     def render_only(s):
-        return jax.vmap(lambda x: raycast.render_depth(
+        return jax.vmap(lambda x: raycast.render_depth_auto(
             x.world, x.drone.pos, x.drone.quat, cam))(s)
 
     print(f"render only: {timeit(render_only, s)*1e3:.1f} ms", flush=True)

@@ -63,11 +63,13 @@ _K2_LANES = int(_os.environ.get("NEO_K2_LANES", "128"))
 
 # Mosaic lowers f32 MXU matmuls through bf16 passes by default (~3e-3
 # relative error on the sampled distances, which the hinge^2 chain amplifies
-# to ~2e-2 on gradients); 'highest' forces full-precision passes.
-# NEO_K2_PRECISION=default trades that for ~3x cheaper sampling matmuls.
-_K2_PRECISION = (jax.lax.Precision.DEFAULT
-                 if _os.environ.get("NEO_K2_PRECISION", "highest") == "default"
-                 else jax.lax.Precision.HIGHEST)
+# to ~2e-2 on gradients — the same precision class as the round-2 MXU
+# sampling path, and ~30 ms/segment cheaper at B=512).
+# NEO_K2_PRECISION=highest forces full-precision passes (the golden tests
+# pin exactness that way on TPU).
+_K2_PRECISION = (jax.lax.Precision.HIGHEST
+                 if _os.environ.get("NEO_K2_PRECISION", "default") == "highest"
+                 else jax.lax.Precision.DEFAULT)
 
 
 # ---------------------------------------------------------------------------

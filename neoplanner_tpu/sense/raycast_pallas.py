@@ -47,9 +47,9 @@ def _ray_tile(hw: int) -> int:
 
 def _make_kernel(K: int):
     def kernel(dirs_ref, org_ref, prims_ref, out_ref):
-        dx = dirs_ref[0]
-        dy = dirs_ref[1]
-        dz = dirs_ref[2]
+        dx = dirs_ref[0, 0]
+        dy = dirs_ref[0, 1]
+        dz = dirs_ref[0, 2]
         ox = org_ref[0, 0, 0]
         oy = org_ref[0, 0, 1]
         oz = org_ref[0, 0, 2]
@@ -115,7 +115,7 @@ def _make_kernel(K: int):
         # ground plane (raycast._trace_rays)
         t_ground = jnp.where(dz < -1e-6,
                              -oz / jnp.where(dz < -1e-6, dz, -1.0), _INF)
-        out_ref[0] = jnp.minimum(t, t_ground)
+        out_ref[0, 0] = jnp.minimum(t, t_ground)
 
     return kernel
 
@@ -131,22 +131,22 @@ def _pack_prims(world: BoxWorld) -> jnp.ndarray:
 
 def _trace_batch(dirs: jnp.ndarray, org: jnp.ndarray, prims: jnp.ndarray,
                  interpret: bool) -> jnp.ndarray:
-    """dirs (E, R, 3) world-frame rays, org (E, 3), prims (E, K*8) ->
-    t (E, R) nearest-hit ray lengths."""
-    E, R, _ = dirs.shape
+    """dirs (E, 3, R) world-frame rays (kernel layout — built this way so the
+    ~1 GB direction tensor at B=4096 is materialized exactly once), org
+    (E, 3), prims (E, K*8) -> t (E, R) nearest-hit ray lengths."""
+    E, _, R = dirs.shape
     K = prims.shape[1] // 8
     tile = _ray_tile(R)
     rp = R + ((-R) % tile)
     if rp != R:
-        dirs = jnp.pad(dirs, ((0, 0), (0, rp - R), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, 0), (0, 0), (0, rp - R)))
     n_tiles = rp // tile
-    dirs_t = dirs.reshape(E * rp, 3).T                      # (3, E*rp)
 
     out = pl.pallas_call(
         _make_kernel(K),
         grid=(E, n_tiles),
         in_specs=[
-            pl.BlockSpec((3, tile), lambda e, i, _T=n_tiles: (0, e * _T + i),
+            pl.BlockSpec((1, 3, tile), lambda e, i: (e, 0, i),
                          memory_space=pltpu.VMEM),
             # Mosaic constrains the last two block dims to (x8, x128) or
             # shape-equal: give the small per-env tables a leading env axis
@@ -156,17 +156,17 @@ def _trace_batch(dirs: jnp.ndarray, org: jnp.ndarray, prims: jnp.ndarray,
             pl.BlockSpec((1, 1, prims.shape[1]), lambda e, i: (e, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda e, i, _T=n_tiles:
-                               (0, e * _T + i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, E * rp), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, tile), lambda e, i: (e, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, 1, rp), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(flops=E * rp * K * 60,
                                       bytes_accessed=E * rp * 16
                                       + E * prims.shape[1] * 4,
                                       transcendentals=E * rp * K),
-    )(dirs_t, org.astype(jnp.float32)[:, None, :],
+    )(dirs, org.astype(jnp.float32)[:, None, :],
       prims.astype(jnp.float32)[:, None, :])
-    return out.reshape(E, rp)[:, :R]
+    return out[:, 0, :R]
 
 
 def _render_flat(world_leaves, pos, quat, cam: CameraParams, interpret: bool):
@@ -175,12 +175,12 @@ def _render_flat(world_leaves, pos, quat, cam: CameraParams, interpret: bool):
     E = pos.shape[0]
     dirs_body = raycast.ray_dirs_camera(cam).reshape(-1, 3)     # (R, 3)
     rot = jax.vmap(frames.quat_to_matrix)(quat)                 # (E, 3, 3)
-    dirs = jnp.einsum("eij,rj->eri", rot, dirs_body)            # (E, R, 3)
+    dirs = jnp.einsum("eij,rj->eir", rot, dirs_body)            # (E, 3, R)
     t = _trace_batch(dirs, pos, _pack_prims(world), interpret)  # (E, R)
 
     # z-depth = range along body x, Gazebo-style (raycast.render_depth)
     x_body = rot[:, :, 0]                                       # (E, 3)
-    cosang = jnp.einsum("eri,ei->er", dirs, x_body)
+    cosang = jnp.einsum("eir,ei->er", dirs, x_body)
     z_depth = t * cosang
     valid = (t < _INF) & (z_depth >= cam.min_range) \
         & (z_depth <= cam.max_range)
