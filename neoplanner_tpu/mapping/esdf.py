@@ -194,9 +194,14 @@ def make_window(emap: ESDFMap, center: jnp.ndarray, cells: int):
     """Static-size crop of the distance field around a world point, for the
     fused grid-objective kernels (plan/costs_pallas_grid.py).
 
-    Returns (esdf (hw, ww) f32, origin (3,) = [x0, y0, resolution]). The crop
-    is clamped inside the map, so a window centered near a map edge slides
-    inward rather than shrinking (shapes stay static under jit)."""
+    Returns (esdf (hw, ww) f32, worg (7,) = [x0, y0, resolution,
+    map_x0, map_y0, map_x1, map_y1]). The crop is clamped inside the map, so
+    a window centered near a map edge slides inward rather than shrinking
+    (shapes stay static under jit); the map bounds ride along so the kernel
+    glue can restore the out-of-MAP -> FAR (free) semantics of the full-grid
+    path (esdf.py:66) — without them, a local target beyond the map edge
+    (the random-mission goals at x=26 sit past the 21.6 m grid) reads
+    clamped edge values as phantom obstacles."""
     H, W = emap.esdf.shape
     hw = int(min(cells, H))
     ww = int(min(cells, W))
@@ -207,8 +212,12 @@ def make_window(emap: ESDFMap, center: jnp.ndarray, cells: int):
                                  (hw, ww)).astype(jnp.float32)
     origin = emap.origin + jnp.stack([c0, r0]).astype(jnp.float32) \
         * emap.resolution
-    worg = jnp.concatenate([origin, jnp.reshape(
-        emap.resolution.astype(jnp.float32), (1,))])
+    res = emap.resolution.astype(jnp.float32)
+    worg = jnp.concatenate([
+        origin, jnp.reshape(res, (1,)),
+        emap.origin.astype(jnp.float32),
+        emap.origin.astype(jnp.float32)
+        + jnp.array([W, H], jnp.float32) * res])
     return esdf, worg
 
 

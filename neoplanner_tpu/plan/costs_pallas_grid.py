@@ -228,20 +228,39 @@ def _k2_call(u, v, win, L, with_grad, interpret):
     S, N = u.shape
     Ew, Hw, Ww = win.shape
     assert N == Ew * L, (N, Ew, L)
-    # Mosaic requires the lane block (E_b * L) to be a multiple of 128
-    E_b = 128 // _math.gcd(L, 128)
-    while E_b * L < min(_K2_LANES, 512) and (2 * E_b * L) <= 512:
-        E_b *= 2
+    # Mosaic requires the lane block (E_b * L) to be a multiple of 128, and
+    # the unrolled per-lane loop's scoped VMEM stack caps the block at ~512
+    # lanes. When L shares no factor with 128 (e.g. the 7-lane expert bank),
+    # pad each env's lanes to the next power of two so a small E_b works.
+    def block_of(lanes):
+        eb = 128 // _math.gcd(lanes, 128)
+        while eb * lanes < min(_K2_LANES, 512) and (2 * eb * lanes) <= 512:
+            eb *= 2
+        return eb
+
+    L_pad = L
+    E_b = block_of(L_pad)
+    if E_b * L_pad > 512:
+        L_pad = 1
+        while L_pad < L:
+            L_pad *= 2
+        L_pad = min(L_pad, ((L + 127) // 128) * 128) if L > 128 else L_pad
+        E_b = block_of(L_pad)
+    if L_pad != L:
+        u = jnp.pad(u.reshape(S, Ew, L), ((0, 0), (0, 0), (0, L_pad - L))
+                    ).reshape(S, Ew * L_pad)
+        v = jnp.pad(v.reshape(S, Ew, L), ((0, 0), (0, 0), (0, L_pad - L))
+                    ).reshape(S, Ew * L_pad)
     ewp = Ew + ((-Ew) % E_b)
     if ewp != Ew:
         win = jnp.concatenate(
             [win, jnp.zeros((ewp - Ew, Hw, Ww), win.dtype)])
-        padn = (ewp - Ew) * L
+        padn = (ewp - Ew) * L_pad
         u = jnp.concatenate([u, jnp.zeros((S, padn), u.dtype)], axis=1)
         v = jnp.concatenate([v, jnp.zeros((S, padn), v.dtype)], axis=1)
-    np_ = ewp * L
-    kernel = _make_k2(S, L, E_b, Hw, Ww, with_grad)
-    lane_spec = pl.BlockSpec((S, E_b * L), lambda i: (0, i),
+    np_ = ewp * L_pad
+    kernel = _make_k2(S, L_pad, E_b, Hw, Ww, with_grad)
+    lane_spec = pl.BlockSpec((S, E_b * L_pad), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     win_spec = pl.BlockSpec((E_b, Hw, Ww), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -261,20 +280,30 @@ def _k2_call(u, v, win, L, with_grad, interpret):
             bytes_accessed=(ewp * Hw * Ww + np_ * S * (2 + n_out)) * 4,
             transcendentals=0),
     )(u, v, win)
+
+    def unpad(o):
+        if L_pad == L:
+            return o[:, :N]
+        return o[:, :Ew * L_pad].reshape(S, Ew, L_pad)[:, :, :L].reshape(S, N)
+
     if with_grad:
-        return out[0][:, :N], out[1][:, :N], out[2][:, :N]
-    return out[0][:, :N]
+        return unpad(out[0]), unpad(out[1]), unpad(out[2])
+    return unpad(out[0])
 
 
 # ---------------------------------------------------------------------------
 # XLA glue + custom_vmap collapse
 # ---------------------------------------------------------------------------
 
+_FAR = 1e4   # out-of-map distance (esdf.py:66)
+
+
 def _window_coords(px, py, worg, L, Hw, Ww):
-    """World sample positions (S, N) -> clamped window cell-center coords and
+    """World sample positions (S, N) -> clamped window cell-center coords,
     interior masks (the derivative of the clamp — autodiff through
-    mapping/esdf.sample_bilinear's clip does the same masking)."""
-    org = jnp.repeat(worg, L, axis=0)                        # (N, 3)
+    mapping/esdf.sample_bilinear's clip does the same masking), and the
+    out-of-MAP mask (beyond the full grid the reference reads FAR/free)."""
+    org = jnp.repeat(worg, L, axis=0)                        # (N, 7)
     res = org[:, 2][None, :]
     uraw = (py - org[:, 1][None, :]) / res - 0.5
     vraw = (px - org[:, 0][None, :]) / res - 0.5
@@ -282,7 +311,9 @@ def _window_coords(px, py, worg, L, Hw, Ww):
     v = jnp.clip(vraw, 0.0, Ww - 1.001)
     iny = (uraw > 0.0) & (uraw < Hw - 1.001)
     inx = (vraw > 0.0) & (vraw < Ww - 1.001)
-    return u, v, iny, inx, res
+    out_map = ((px < org[:, 3][None, :]) | (py < org[:, 4][None, :])
+               | (px >= org[:, 5][None, :]) | (py >= org[:, 6][None, :]))
+    return u, v, iny, inx, out_map, res
 
 
 def _fwd_flat_impl(x, head, tail, win, worg, statics, interpret):
@@ -295,8 +326,8 @@ def _fwd_flat_impl(x, head, tail, win, worg, statics, interpret):
         f"(N={N}, windows={Ew})")
     L = N // Ew
     fnc, px, py, wall = _k1_call(x, head, tail, statics, interpret)
-    u, v, _, _, _ = _window_coords(px, py, worg, L, Hw, Ww)
-    dis = _k2_call(u, v, win, L, False, interpret)
+    u, v, _, _, out_map, _ = _window_coords(px, py, worg, L, Hw, Ww)
+    dis = jnp.where(out_map, _FAR, _k2_call(u, v, win, L, False, interpret))
     hc = jnp.maximum(safe_dis - dis, 0.0)
     return fnc + w_c * jnp.sum(wall * hc * hc * hc, axis=0)
 
@@ -309,8 +340,9 @@ def _valgrad_flat_impl(x, head, tail, win, worg, statics, interpret):
     assert N % Ew == 0, (N, Ew)
     L = N // Ew
     _, px, py, wall = _k1_call(x, head, tail, statics, interpret)
-    u, v, iny, inx, res = _window_coords(px, py, worg, L, Hw, Ww)
+    u, v, iny, inx, out_map, res = _window_coords(px, py, worg, L, Hw, Ww)
     dis, ddu, ddv = _k2_call(u, v, win, L, True, interpret)
+    dis = jnp.where(out_map, _FAR, dis)
     hc = jnp.maximum(safe_dis - dis, 0.0)
     hc2 = hc * hc
     gs = w_c * wall * 3.0 * hc2

@@ -192,3 +192,71 @@ def test_env_lane_candidate_nesting():
     )(emaps, xs, heads, tails)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_seven_lane_bank_padding():
+    """The 7-lane expert bank shares no factor with 128, forcing the K2
+    lane-padding path — golden equality must hold through it."""
+    emaps = jax.vmap(lambda s: _emap_jit(s))(jnp.arange(2))
+    wins, worgs = jax.vmap(_full_window)(emaps)
+    keys = jax.random.split(jax.random.PRNGKey(4), 2 * 7).reshape(2, 7, 2)
+    xs, heads, tails = jax.vmap(jax.vmap(_random_problem))(keys)
+
+    got = jax.vmap(lambda w, o, x2, h2, t2: jax.vmap(
+        lambda x, h, t: cpg.objective_fwd_grid(
+            x, h, t, w, o, PP, interpret=True))(x2, h2, t2)
+    )(wins, worgs, xs, heads, tails)
+    want = jax.vmap(lambda em, x2, h2, t2: jax.vmap(
+        lambda x, h, t: costs_mod.objective(x, h, t, em, PP))(x2, h2, t2)
+    )(emaps, xs, heads, tails)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+    gv = jax.vmap(lambda w, o, x2, h2, t2: jax.vmap(
+        lambda x, h, t: cpg.objective_valgrad_grid(
+            x, h, t, w, o, PP, interpret=True)[1])(x2, h2, t2)
+    )(wins, worgs, xs, heads, tails)
+    gr = jax.vmap(lambda em, x2, h2, t2: jax.vmap(
+        jax.grad(lambda x, h, t: costs_mod.objective(x, h, t, em, PP))
+    )(x2, h2, t2))(emaps, xs, heads, tails)
+    scale = np.maximum(np.abs(np.asarray(gr)), 1.0)
+    np.testing.assert_allclose(np.asarray(gv) / scale,
+                               np.asarray(gr) / scale, atol=2e-3)
+
+
+def test_out_of_map_targets_read_far():
+    """Trajectories to targets beyond the grid (the random-mission goals at
+    x=26 sit past a 21.6 m map) must read FAR/free out of the map like the
+    full-grid path — NOT the window's clamped edge values (the round-3
+    phantom-obstacle bug)."""
+    emap = _emap(7)
+    win, worg = esdf_mod.make_window(emap, jnp.array([20.0, 0.0]), 96)
+    keys = jax.random.split(jax.random.PRNGKey(6), 8)
+
+    def prob(key):
+        k1, k2 = jax.random.split(key)
+        head = jnp.zeros((3, 2)).at[0].set(
+            jnp.array([18.0, 0.0]) + jax.random.normal(k1, (2,)))
+        # tail well past the map's +x edge (map ends at x = 21.6)
+        tail = jnp.zeros((3, 2)).at[0].set(
+            head[0] + jnp.array([6.0, 0.0]))
+        q = expert.straight_line_wpts(head[0], tail[0], PP) \
+            + 0.3 * jax.random.normal(k2, (2, PP.num_wpts))
+        tau = minco.T_to_tau(expert.init_ts(PP), PP.t_min, PP.t_max)
+        return costs_mod.pack(q, tau, PP), head, tail
+
+    xs, heads, tails = jax.vmap(prob)(keys)
+    want = jax.vmap(lambda x, h, t: costs_mod.objective(x, h, t, emap, PP)
+                    )(xs, heads, tails)
+    got = jax.vmap(lambda x, h, t: cpg.objective_fwd_grid(
+        x, h, t, win, worg, PP, interpret=True))(xs, heads, tails)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+    gk = jax.vmap(lambda x, h, t: cpg.objective_valgrad_grid(
+        x, h, t, win, worg, PP, interpret=True)[1])(xs, heads, tails)
+    gr = jax.vmap(jax.grad(lambda x, h, t: costs_mod.objective(
+        x, h, t, emap, PP)))(xs, heads, tails)
+    scale = np.maximum(np.abs(np.asarray(gr)), 1.0)
+    np.testing.assert_allclose(np.asarray(gk) / scale,
+                               np.asarray(gr) / scale, atol=2e-3)
