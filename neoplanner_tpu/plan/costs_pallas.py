@@ -289,12 +289,16 @@ def fwd_nocoll(M, K, v_max, w_e, w_t, w_f, state):
 
 
 def valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f, state,
-                 collw, ppx, ppy, chcw, f_ref, g_ref):
+                 collw, ppx, ppy, chcw):
     """Full fused value+gradient given the collision term's contributions:
 
     - collw (NB,):  weighted collision penalty value, w_c * sum_s w_all hc^3
     - ppx/ppy (S, NB): d(w_c * coll)/d(sample position), weights folded in
     - chcw (S, NB): w_c * hc^3 per sample (the sample-weight T chain)
+
+    Returns (f (NB,), g_rows: list of nv (NB,) arrays) — callers write them
+    to output refs (the per-eval kernels) or keep them as values (the
+    in-kernel L-BFGS solver, plan/solve_pallas.py).
 
     Everything else — energy/time/feasibility forward values and the whole
     adjoint (the reference's hand gradient, expert_planner.py:345-537):
@@ -345,7 +349,7 @@ def valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f, state,
     hv2 = hv * hv
     feas = jnp.sum(w_all * hv * hv2, axis=0)
 
-    f_ref[0] = w_e * energy + w_t * time_cost + w_f * feas + collw
+    f_out = w_e * energy + w_t * time_cost + w_f * feas + collw
 
     # ---- adjoint
     # per-sample cotangents w.r.t. velocity (weights folded in); the position
@@ -405,9 +409,10 @@ def valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f, state,
     lam = _solve_entries(AT, rhsT, n, D, 2, 6, zero)  # lam[row] = (D, NB)
 
     # waypoint gradients: qbar[d][i] = lam[6i+3][d] (b-row cotangent)
+    g_rows = [zero] * (D * nw + M)
     for i in range(M - 1):
-        g_ref[i] = lam[6 * i + 3][0]
-        g_ref[nw + i] = lam[6 * i + 3][1]
+        g_rows[i] = lam[6 * i + 3][0]
+        g_rows[nw + i] = lam[6 * i + 3][1]
 
     # Abar = -lam x^T chain into T via d beta_k / dT = beta_{k+1}
     def add_dA(m, rows_ks, c0):
@@ -431,8 +436,36 @@ def valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f, state,
 
     # tau chain
     for m in range(M):
-        g_ref[D * nw + m] = Tbar[m] * (t_max - t_min) * sig[m] \
+        g_rows[D * nw + m] = Tbar[m] * (t_max - t_min) * sig[m] \
             * (1.0 - sig[m])
+    return f_out, g_rows
+
+
+def scene_valgrad_values(M, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f,
+                         w_c, n_prims, x_rows, head_ref, tail_ref, prims_ref):
+    """(f (NB,), g_rows) of the scene objective from decision-variable rows —
+    the value-form core of the valgrad kernel, reused by the in-kernel
+    L-BFGS solver (plan/solve_pallas.py)."""
+    state = common_fwd(M, K, t_min, t_max, x_rows, head_ref, tail_ref, True)
+    w_all, px, py = state[10], state[13], state[14]
+    dis, gsx, gsy = _scene_min_dist(prims_ref, n_prims, px, py, True)
+    hc = jnp.maximum(safe_dis - dis, 0.0)
+    hc2 = hc * hc
+    collw = w_c * jnp.sum(w_all * hc * hc2, axis=0)
+    g_s = w_c * w_all * 3.0 * hc2
+    return valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f, state,
+                        collw, -g_s * gsx, -g_s * gsy, w_c * hc * hc2)
+
+
+def scene_value(M, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f, w_c,
+                n_prims, x_rows, head_ref, tail_ref, prims_ref):
+    """Forward-only scene objective value (NB,) from decision rows."""
+    state = common_fwd(M, K, t_min, t_max, x_rows, head_ref, tail_ref, False)
+    w_all, px, py = state[10], state[13], state[14]
+    dis = _scene_min_dist(prims_ref, n_prims, px, py, False)
+    hc = jnp.maximum(safe_dis - dis, 0.0)
+    coll = jnp.sum(w_all * hc * hc * hc, axis=0)
+    return fwd_nocoll(M, K, v_max, w_e, w_t, w_f, state) + w_c * coll
 
 
 # ---------------------------------------------------------------------------
@@ -455,17 +488,12 @@ def _make_kernels(M, D, K, t_min, t_max, v_max, safe_dis,
         out_ref[0] = fwd_nocoll(M, K, v_max, w_e, w_t, w_f, state) + w_c * coll
 
     def valgrad_kernel(x_ref, head_ref, tail_ref, prims_ref, f_ref, g_ref):
-        state = common_fwd(M, K, t_min, t_max, x_ref, head_ref, tail_ref,
-                           True)
-        w_all, px, py = state[10], state[13], state[14]
-        dis, gsx, gsy = _scene_min_dist(prims_ref, n_prims, px, py, True)
-        hc = jnp.maximum(safe_dis - dis, 0.0)
-        hc2 = hc * hc
-        collw = w_c * jnp.sum(w_all * hc * hc2, axis=0)
-        g_s = w_c * w_all * 3.0 * hc2          # d coll / d hc  (hc = safe-dis)
-        valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f, state,
-                     collw, -g_s * gsx, -g_s * gsy, w_c * hc * hc2,
-                     f_ref, g_ref)
+        f, g_rows = scene_valgrad_values(
+            M, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f, w_c,
+            n_prims, x_ref[...], head_ref, tail_ref, prims_ref)
+        f_ref[0] = f
+        for i, row in enumerate(g_rows):
+            g_ref[i] = row
 
     return fwd_kernel, valgrad_kernel
 

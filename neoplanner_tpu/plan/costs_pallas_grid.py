@@ -98,9 +98,12 @@ def _make_k3(M, D, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f, w_c):
                   chcw_ref, f_ref, g_ref):
         state = common_fwd(M, K, t_min, t_max, x_ref, head_ref, tail_ref,
                            True)
-        valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f, state,
-                     collw_ref[0], ppx_ref[...], ppy_ref[...], chcw_ref[...],
-                     f_ref, g_ref)
+        f, g_rows = valgrad_poly(M, K, t_min, t_max, v_max, w_e, w_t, w_f,
+                                 state, collw_ref[0], ppx_ref[...],
+                                 ppy_ref[...], chcw_ref[...])
+        f_ref[0] = f
+        for i, row in enumerate(g_rows):
+            g_ref[i] = row
 
     return k3_kernel
 

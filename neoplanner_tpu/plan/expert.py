@@ -155,16 +155,29 @@ def solve_one(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
         ls_parallel = ls_fun is not None
     else:
         ls_parallel = pp.ls_mode == "wide"
-    res = lbfgs.minimize(fun, x0, max_iters=pp.max_iters, history=pp.history,
-                         max_ls=pp.max_ls, ftol=1e-10, gtol=1e-8,
-                         ls_parallel=ls_parallel, ls_fun=ls_fun)
-    q, tau = costs_mod.unpack(res.x, pp)
+    import os
+    if (is_scene and ls_fun is not None
+            and os.environ.get("NEO_SOLVER", "kernel") == "kernel"):
+        # the WHOLE solve in one Pallas program: the XLA iteration loop pays
+        # ~6 dispatches per L-BFGS iteration, which BENCH_r03 showed is the
+        # plan stage's binding constraint (plan/solve_pallas.py).
+        # NEO_SOLVER=xla reverts to the per-eval kernel loop for A/B.
+        from neoplanner_tpu.plan import solve_pallas
+        res_x, _, res_iters = solve_pallas.solve_scene(
+            x0, head_state, tail_state, emap, pp)
+    else:
+        res = lbfgs.minimize(fun, x0, max_iters=pp.max_iters,
+                             history=pp.history, max_ls=pp.max_ls,
+                             ftol=1e-10, gtol=1e-8,
+                             ls_parallel=ls_parallel, ls_fun=ls_fun)
+        res_x, res_iters = res.x, res.iters
+    q, tau = costs_mod.unpack(res_x, pp)
     ts = minco.tau_to_T(tau, pp.t_min, pp.t_max)
     cvec, coeffs = costs_mod.traj_costs(head_state, tail_state, q, ts, emap,
                                         cost_pp)
     ok = cvec[3] * pp.w_collision <= pp.collision_cost_tol
     return Trajectory(int_wpts=q, ts=ts, coeffs=coeffs, costs=cvec, ok=ok,
-                      iters=res.iters)
+                      iters=res_iters)
 
 
 def _select(bank: Trajectory, pp: PlannerParams) -> Trajectory:
