@@ -156,15 +156,21 @@ def solve_one(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
     else:
         ls_parallel = pp.ls_mode == "wide"
     import os
-    if (is_scene and ls_fun is not None
+    if (ls_fun is not None
             and os.environ.get("NEO_SOLVER", "kernel") == "kernel"):
         # the WHOLE solve in one Pallas program: the XLA iteration loop pays
-        # ~6 dispatches per L-BFGS iteration, which BENCH_r03 showed is the
-        # plan stage's binding constraint (plan/solve_pallas.py).
-        # NEO_SOLVER=xla reverts to the per-eval kernel loop for A/B.
-        from neoplanner_tpu.plan import solve_pallas
-        res_x, _, res_iters = solve_pallas.solve_scene(
-            x0, head_state, tail_state, emap, pp)
+        # ~6-8 dispatches per L-BFGS iteration, which round-3 profiling
+        # showed is the plan stage's binding constraint (plan/solve_pallas.py
+        # for the scene backend, plan/solve_pallas_grid.py for sensed-grid
+        # windows). NEO_SOLVER=xla reverts to the per-eval kernel loop.
+        if is_scene:
+            from neoplanner_tpu.plan import solve_pallas
+            res_x, _, res_iters = solve_pallas.solve_scene(
+                x0, head_state, tail_state, emap, pp)
+        else:
+            from neoplanner_tpu.plan import solve_pallas_grid
+            res_x, _, res_iters = solve_pallas_grid.solve_grid(
+                x0, head_state, tail_state, win_esdf, win_origin, pp)
     else:
         res = lbfgs.minimize(fun, x0, max_iters=pp.max_iters,
                              history=pp.history, max_ls=pp.max_ls,

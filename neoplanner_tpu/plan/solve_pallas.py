@@ -17,9 +17,9 @@ replaces the while-all-lanes-done loop — identical results, since finished
 lanes freeze either way. Golden test: tests/test_solve_pallas.py pins the
 solved cost against the XLA solver on identical problems.
 
-Enabled in plan/expert.solve_one by NEO_SOLVER=kernel (scene backend only;
-grids keep the per-eval kernel chain — their per-env VMEM windows don't fit
-the flat-tile layout of this solver).
+Enabled in plan/expert.solve_one by NEO_SOLVER=kernel. The sensed-grid
+analog (per-env VMEM window tiling instead of flat 512-lane tiles) is
+plan/solve_pallas_grid.py; both share :func:`lbfgs_in_kernel`.
 """
 
 from __future__ import annotations
@@ -38,10 +38,160 @@ from neoplanner_tpu.plan.costs_pallas import (_NB, _static, pack_prims,
                                               scene_value)
 
 
+def lbfgs_in_kernel(vg, fwd, x0, max_iters, history, max_ls, ftol, gtol, c1):
+    """The masked L-BFGS loop on (nv, NB) decision rows, inside a kernel.
+
+    vg(x) -> (f (NB,), g (nv, NB)); fwd(x) -> f (NB,). Semantics mirror
+    ops/lbfgs.minimize (fixed-iteration masked form: finished lanes freeze).
+    Shared by the scene solver below and the grid solver
+    (plan/solve_pallas_grid.py). Returns (x, f, iters int32)."""
+    m = history
+    nv, NB = x0.shape
+    f0, g0 = vg(x0)
+    # NOTE all loop-carried lane masks are f32 0/1, NOT bool: Mosaic's
+    # remote compiler crashes (tpu_compile_helper exit 1) on (NB,) bool
+    # vectors in fori_loop carries — bisected 2026-08-17; bool
+    # *intermediates* inside a body are fine. Same for exp2 of the loop
+    # index: the line search halves a carried step instead.
+    done0 = jnp.where(
+        jnp.isnan(f0) | (jnp.max(jnp.abs(g0), axis=0) <= gtol), 1.0, 0.0)
+
+    def select_slot(hist, idx):
+        """hist: m-tuple of (rows..., NB); idx (NB,) -> per-lane pick.
+        Mosaic has no scatter/gather on values, so the ring buffers are
+        per-slot tuples and selection/update are masked elementwise ops."""
+        out = jnp.zeros_like(hist[0])
+        for slot in range(m):
+            sel = (idx == slot).astype(jnp.float32)
+            out = out + sel * hist[slot]
+        return out
+
+    def body(_, carry):
+        (x, f, g, s_hist, y_hist, rho, headi, count, it, done) = carry
+
+        # ---- two-loop recursion (ops/lbfgs._two_loop)
+        q = g
+        alphas = [jnp.zeros((NB,), jnp.float32) for _ in range(m)]
+        for ii in range(m):
+            idx = jnp.mod(headi - 1 - ii, m)
+            s_sel = select_slot(s_hist, idx)
+            y_sel = select_slot(y_hist, idx)
+            r_sel = select_slot(rho, idx)
+            valid = (ii < count).astype(jnp.float32)
+            alpha = r_sel * jnp.sum(s_sel * q, axis=0) * valid
+            q = q - alpha * y_sel
+            for slot in range(m):
+                alphas[slot] = jnp.where(idx == slot, alpha,
+                                         alphas[slot])
+        newest = jnp.mod(headi - 1, m)
+        s_new = select_slot(s_hist, newest)
+        y_new = select_slot(y_hist, newest)
+        sy = jnp.sum(s_new * y_new, axis=0)
+        yy = jnp.sum(y_new * y_new, axis=0)
+        gamma = jnp.where(count > 0, sy / jnp.maximum(yy, 1e-20), 1.0)
+        r = gamma * q
+        for ii in range(m):
+            idx = jnp.mod(headi - count + ii, m)
+            s_sel = select_slot(s_hist, idx)
+            y_sel = select_slot(y_hist, idx)
+            r_sel = select_slot(rho, idx)
+            a_sel = select_slot(alphas, idx)
+            valid = (ii < count).astype(jnp.float32)
+            beta = r_sel * jnp.sum(y_sel * r, axis=0) * valid
+            r = r + s_sel * (a_sel - beta) * valid
+        d = -r
+
+        gtd = jnp.sum(g * d, axis=0)
+        bad = (gtd >= 0.0) | jnp.isnan(gtd)
+        d = jnp.where(bad, -g, d)
+        gtd = jnp.where(bad, -jnp.sum(g * g, axis=0), gtd)
+
+        t0 = jnp.where(it == 0,
+                       jnp.minimum(1.0, 1.0 / jnp.maximum(
+                           jnp.sum(jnp.abs(g), axis=0), 1e-12)),
+                       1.0)
+
+        # ---- backtracking line search (same candidate schedule as
+        # ops/lbfgs.minimize: t0 * 0.5^k) as a nested fori_loop — one
+        # objective trace in the compiled body instead of max_ls inlined
+        # copies. All carried masks are f32 (see NOTE above); the step
+        # halves each trip instead of exp2(-k) of the loop index.
+        def ls_body(k, ls_carry):
+            ls_ok, t_cur, t_first, f_first, f_best, t_best = ls_carry
+            f_k = fwd(x + t_cur * d)
+            ok_k = jnp.where(f_k <= f + c1 * t_cur * gtd, 1.0, 0.0)
+            newly = ok_k * (1.0 - ls_ok) > 0.5
+            t_first = jnp.where(newly, t_cur, t_first)
+            f_first = jnp.where(newly, f_k, f_first)
+            safe = jnp.where(jnp.isnan(f_k), jnp.inf, f_k)
+            better = safe < f_best
+            return (jnp.maximum(ls_ok, ok_k), t_cur * 0.5,
+                    t_first, f_first,
+                    jnp.where(better, safe, f_best),
+                    jnp.where(better, t_cur, t_best))
+
+        ls_ok, _, t_first, f_first, f_best, t_best = jax.lax.fori_loop(
+            0, max_ls, ls_body,
+            (jnp.zeros_like(t0), t0, jnp.zeros_like(t0),
+             jnp.zeros_like(f), jnp.full_like(f, jnp.inf),
+             jnp.zeros_like(t0)))
+        ok_b = ls_ok > 0.5
+        t_sel = jnp.where(ok_b, t_first, t_best)
+        f_try = jnp.where(ok_b, f_first, f_best)
+
+        accept = ok_b | (f_try < f)
+        x_new = jnp.where(accept, x + t_sel * d, x)
+        f_new, g_new = vg(x_new)
+
+        # ---- curvature-guarded history update
+        s = x_new - x
+        y = g_new - g
+        ys = jnp.sum(y * s, axis=0)
+        store = accept & (ys > 1e-10) & (done < 0.5)
+        rho_new = 1.0 / jnp.maximum(ys, 1e-20)
+        s_hist = tuple(
+            jnp.where(store & (headi == slot), s, s_hist[slot])
+            for slot in range(m))
+        y_hist = tuple(
+            jnp.where(store & (headi == slot), y, y_hist[slot])
+            for slot in range(m))
+        rho = tuple(
+            jnp.where(store & (headi == slot), rho_new, rho[slot])
+            for slot in range(m))
+        headi2 = jnp.where(store, jnp.mod(headi + 1, m), headi)
+        count2 = jnp.where(store, jnp.minimum(count + 1, m), count)
+
+        f_drop = (f - f_new) / jnp.maximum(
+            jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0)
+        done_new = ((f_drop <= ftol) & accept) \
+            | (jnp.max(jnp.abs(g_new), axis=0) <= gtol) \
+            | (~accept) | jnp.isnan(f_new)
+
+        # freeze lanes that were already done
+        frz = done > 0.5
+
+        def keep(old, new):
+            return jnp.where(frz, old, new)
+
+        return (keep(x, x_new), keep(f, f_new), keep(g, g_new),
+                s_hist, y_hist, rho,
+                keep(headi, headi2), keep(count, count2),
+                jnp.where(frz, it, it + 1),
+                jnp.maximum(done, jnp.where(done_new, 1.0, 0.0)))
+
+    init = (x0, f0, g0,
+            tuple(jnp.zeros_like(x0) for _ in range(m)),
+            tuple(jnp.zeros_like(x0) for _ in range(m)),
+            tuple(jnp.zeros_like(f0) for _ in range(m)),
+            jnp.zeros((NB,), jnp.int32), jnp.zeros((NB,), jnp.int32),
+            jnp.zeros((NB,), jnp.int32), done0)
+    out = jax.lax.fori_loop(0, max_iters, body, init)
+    return out[0], out[1], out[8]
+
+
 def _make_solver_kernel(statics, n_prims, max_iters, history, max_ls,
                         ftol, gtol, c1):
     (M, D, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f, w_c) = statics
-    m = history
 
     def kernel(x_ref, head_ref, tail_ref, prims_ref,
                xout_ref, fout_ref, it_ref):
@@ -56,150 +206,11 @@ def _make_solver_kernel(statics, n_prims, max_iters, history, max_ls,
                                w_t, w_f, w_c, n_prims, x, head_ref,
                                tail_ref, prims_ref)
 
-        x0 = x_ref[...]                                  # (nv, NB)
-        nv, NB = x0.shape
-        f0, g0 = vg(x0)
-        # NOTE all loop-carried lane masks are f32 0/1, NOT bool: Mosaic's
-        # remote compiler crashes (tpu_compile_helper exit 1) on (NB,) bool
-        # vectors in fori_loop carries — bisected 2026-08-17; bool
-        # *intermediates* inside a body are fine. Same for exp2 of the loop
-        # index: the line search halves a carried step instead.
-        done0 = jnp.where(
-            jnp.isnan(f0) | (jnp.max(jnp.abs(g0), axis=0) <= gtol), 1.0, 0.0)
-
-        def select_slot(hist, idx):
-            """hist: m-tuple of (rows..., NB); idx (NB,) -> per-lane pick.
-            Mosaic has no scatter/gather on values, so the ring buffers are
-            per-slot tuples and selection/update are masked elementwise ops."""
-            out = jnp.zeros_like(hist[0])
-            for slot in range(m):
-                sel = (idx == slot).astype(jnp.float32)
-                out = out + sel * hist[slot]
-            return out
-
-        def body(_, carry):
-            (x, f, g, s_hist, y_hist, rho, headi, count, it, done) = carry
-
-            # ---- two-loop recursion (ops/lbfgs._two_loop)
-            q = g
-            alphas = [jnp.zeros((NB,), jnp.float32) for _ in range(m)]
-            for ii in range(m):
-                idx = jnp.mod(headi - 1 - ii, m)
-                s_sel = select_slot(s_hist, idx)
-                y_sel = select_slot(y_hist, idx)
-                r_sel = select_slot(rho, idx)
-                valid = (ii < count).astype(jnp.float32)
-                alpha = r_sel * jnp.sum(s_sel * q, axis=0) * valid
-                q = q - alpha * y_sel
-                for slot in range(m):
-                    alphas[slot] = jnp.where(idx == slot, alpha,
-                                             alphas[slot])
-            newest = jnp.mod(headi - 1, m)
-            s_new = select_slot(s_hist, newest)
-            y_new = select_slot(y_hist, newest)
-            sy = jnp.sum(s_new * y_new, axis=0)
-            yy = jnp.sum(y_new * y_new, axis=0)
-            gamma = jnp.where(count > 0, sy / jnp.maximum(yy, 1e-20), 1.0)
-            r = gamma * q
-            for ii in range(m):
-                idx = jnp.mod(headi - count + ii, m)
-                s_sel = select_slot(s_hist, idx)
-                y_sel = select_slot(y_hist, idx)
-                r_sel = select_slot(rho, idx)
-                a_sel = select_slot(alphas, idx)
-                valid = (ii < count).astype(jnp.float32)
-                beta = r_sel * jnp.sum(y_sel * r, axis=0) * valid
-                r = r + s_sel * (a_sel - beta) * valid
-            d = -r
-
-            gtd = jnp.sum(g * d, axis=0)
-            bad = (gtd >= 0.0) | jnp.isnan(gtd)
-            d = jnp.where(bad, -g, d)
-            gtd = jnp.where(bad, -jnp.sum(g * g, axis=0), gtd)
-
-            t0 = jnp.where(it == 0,
-                           jnp.minimum(1.0, 1.0 / jnp.maximum(
-                               jnp.sum(jnp.abs(g), axis=0), 1e-12)),
-                           1.0)
-
-            # ---- backtracking line search (same candidate schedule as
-            # ops/lbfgs.minimize: t0 * 0.5^k) as a nested fori_loop — one
-            # objective trace in the compiled body instead of max_ls inlined
-            # copies. All carried masks are f32 (see NOTE above); the step
-            # halves each trip instead of exp2(-k) of the loop index.
-            def ls_body(k, ls_carry):
-                ls_ok, t_cur, t_first, f_first, f_best, t_best = ls_carry
-                f_k = fwd(x + t_cur * d)
-                ok_k = jnp.where(f_k <= f + c1 * t_cur * gtd, 1.0, 0.0)
-                newly = ok_k * (1.0 - ls_ok) > 0.5
-                t_first = jnp.where(newly, t_cur, t_first)
-                f_first = jnp.where(newly, f_k, f_first)
-                safe = jnp.where(jnp.isnan(f_k), jnp.inf, f_k)
-                better = safe < f_best
-                return (jnp.maximum(ls_ok, ok_k), t_cur * 0.5,
-                        t_first, f_first,
-                        jnp.where(better, safe, f_best),
-                        jnp.where(better, t_cur, t_best))
-
-            ls_ok, _, t_first, f_first, f_best, t_best = jax.lax.fori_loop(
-                0, max_ls, ls_body,
-                (jnp.zeros_like(t0), t0, jnp.zeros_like(t0),
-                 jnp.zeros_like(f), jnp.full_like(f, jnp.inf),
-                 jnp.zeros_like(t0)))
-            ok_b = ls_ok > 0.5
-            t_sel = jnp.where(ok_b, t_first, t_best)
-            f_try = jnp.where(ok_b, f_first, f_best)
-
-            accept = ok_b | (f_try < f)
-            x_new = jnp.where(accept, x + t_sel * d, x)
-            f_new, g_new = vg(x_new)
-
-            # ---- curvature-guarded history update
-            s = x_new - x
-            y = g_new - g
-            ys = jnp.sum(y * s, axis=0)
-            store = accept & (ys > 1e-10) & (done < 0.5)
-            rho_new = 1.0 / jnp.maximum(ys, 1e-20)
-            s_hist = tuple(
-                jnp.where(store & (headi == slot), s, s_hist[slot])
-                for slot in range(m))
-            y_hist = tuple(
-                jnp.where(store & (headi == slot), y, y_hist[slot])
-                for slot in range(m))
-            rho = tuple(
-                jnp.where(store & (headi == slot), rho_new, rho[slot])
-                for slot in range(m))
-            headi2 = jnp.where(store, jnp.mod(headi + 1, m), headi)
-            count2 = jnp.where(store, jnp.minimum(count + 1, m), count)
-
-            f_drop = (f - f_new) / jnp.maximum(
-                jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0)
-            done_new = ((f_drop <= ftol) & accept) \
-                | (jnp.max(jnp.abs(g_new), axis=0) <= gtol) \
-                | (~accept) | jnp.isnan(f_new)
-
-            # freeze lanes that were already done
-            frz = done > 0.5
-
-            def keep(old, new):
-                return jnp.where(frz, old, new)
-
-            return (keep(x, x_new), keep(f, f_new), keep(g, g_new),
-                    s_hist, y_hist, rho,
-                    keep(headi, headi2), keep(count, count2),
-                    jnp.where(frz, it, it + 1),
-                    jnp.maximum(done, jnp.where(done_new, 1.0, 0.0)))
-
-        init = (x0, f0, g0,
-                tuple(jnp.zeros_like(x0) for _ in range(m)),
-                tuple(jnp.zeros_like(x0) for _ in range(m)),
-                tuple(jnp.zeros_like(f0) for _ in range(m)),
-                jnp.zeros((NB,), jnp.int32), jnp.zeros((NB,), jnp.int32),
-                jnp.zeros((NB,), jnp.int32), done0)
-        out = jax.lax.fori_loop(0, max_iters, body, init)
-        xout_ref[...] = out[0]
-        fout_ref[0] = out[1]
-        it_ref[0] = out[8]
+        x, f, iters = lbfgs_in_kernel(vg, fwd, x_ref[...], max_iters,
+                                      history, max_ls, ftol, gtol, c1)
+        xout_ref[...] = x
+        fout_ref[0] = f
+        it_ref[0] = iters
 
     return kernel
 
