@@ -221,14 +221,20 @@ def eval_at(coeffs: jnp.ndarray, ts: jnp.ndarray, t: jnp.ndarray, order: int
     cum = jnp.cumsum(ts)
     total = cum[-1]
     tc = jnp.clip(t, 0.0, total)
-    # reference piece lookup: smallest idx with cumsum(ts[:idx+1]) >= t
-    piece = jnp.clip(jnp.searchsorted(cum, tc[..., None], side="left")[..., 0], 0, M - 1)
-    local_t = tc - jnp.where(piece > 0, jnp.take(jnp.concatenate([jnp.zeros(1), cum]),
-                                                 piece), 0.0)
+    # reference piece lookup: smallest idx with cumsum(ts[:idx+1]) >= t.
+    # GATHER-FREE form (TPUs have no gather hardware; the per-sample
+    # c_blocks[piece] gather made full_state_cmd cost ~150 ms at B=4096 —
+    # more than the whole plan bank): M is statically small, so evaluate
+    # every piece's polynomial at its local time and mask-select.
+    starts = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])  # (M,)
+    piece = jnp.sum((cum[:-1] < tc[..., None]).astype(jnp.int32), axis=-1)
     c_blocks = coeffs.reshape(M, 6, -1)          # (M, 6, D)
-    c = c_blocks[piece]                          # (..., 6, D)
-    bt = beta(local_t, order)                    # (..., 6)
-    return jnp.einsum("...j,...jd->...d", bt, c)
+    out = jnp.zeros(tc.shape + (c_blocks.shape[-1],), coeffs.dtype)
+    for m in range(M):
+        bt = beta(tc - starts[m], order)         # (..., 6)
+        val = jnp.einsum("...j,jd->...d", bt, c_blocks[m])
+        out = out + jnp.where((piece == m)[..., None], val, 0.0)
+    return out
 
 
 def full_state_cmd(coeffs: jnp.ndarray, ts: jnp.ndarray, hz: int, n_max: int):

@@ -274,7 +274,16 @@ def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
                    plan_map: str = "grid", i0: int = 0):
     """Scan control/physics substeps over the setpoints. ``i0`` offsets the
     10 Hz metric tick counter so chunked tracking (sensor-rate fusion) keeps
-    the exact metric cadence of one unchunked segment."""
+    the exact metric cadence of one unchunked segment.
+
+    On TPU with the analytic scene metric backend the whole segment runs in
+    one Pallas program (sim/track_pallas.py; NEO_TRACKER=xla reverts) —
+    the lax.scan below is the reference/XLA form and the grid-metric path."""
+    if plan_map == "scene":
+        from neoplanner_tpu.sim import track_pallas
+        if track_pallas.enabled():
+            return track_pallas.track_segment(state, track_cmds, pp, mp, sp,
+                                              i0)
     metric_map = state.scene if plan_map == "scene" else state.emap
     active_phase = (state.phase == missions.PHASE_MISSION)
     # takeoff climbs toward des_pos_z on held-position setpoints
