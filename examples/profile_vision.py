@@ -47,7 +47,9 @@ def main():
     mp, sp = MissionParams(), SimParams()
     mapp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6,
                      edt_truncation=trunc,
-                     fusion=os.environ.get("VIS_FUSION", "2d_dense"))
+                     fusion=os.environ.get("VIS_FUSION", "2d_dense"),
+                     fusion_row_stride=int(os.environ.get("VIS_ROW_STRIDE",
+                                                          "4")))
     wp = WorldParams(num_boxes=10)
 
     worlds = scenegen.generate_batch(jax.random.PRNGKey(0), B, wp)

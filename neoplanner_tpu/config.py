@@ -201,6 +201,12 @@ class MapParams:
     # '2d' = per-column polar scatter fusion; '3d' = strided per-sample ray
     # carving (shaped like octomap's per-ray insertion)
     fusion: str = "2d"
+    # vertical row stride for fusion-frame rendering (same FOV, every
+    # stride-th row): the 2-D fusion reduces each column to one range, so a
+    # coarse vertical sampling is enough — at 4 it cuts the dominant
+    # vision-loop render cost ~4x. 1 = full resolution (reference cadence);
+    # NN/planner frames always render full-res.
+    fusion_row_stride: int = 1
 
 
 @dataclass(frozen=True)

@@ -85,7 +85,7 @@ BIG = 1e9
 
 
 def polar_columns(depth: jnp.ndarray, pos: jnp.ndarray, quat: jnp.ndarray,
-                  cam: CameraParams, mp: MapParams):
+                  cam: CameraParams, mp: MapParams, row_stride: int = 1):
     """Collapse a depth frame to the projected plane, per image column:
 
       r_hit(u)   — nearest in-slice hit range (the visible obstacle surface)
@@ -93,10 +93,12 @@ def polar_columns(depth: jnp.ndarray, pos: jnp.ndarray, quat: jnp.ndarray,
                    nearest obstacle (slab-clipped against [z_min, z_max])
       u_dir(u)   — the column's horizontal world direction (mid-row azimuth)
 
-    Shared by both 2-D fusion backends (scatter and dense)."""
+    Shared by both 2-D fusion backends (scatter and dense). ``row_stride``
+    must match the stride the depth frame was rendered with (the column
+    reductions then run over the coarse row subset)."""
     from neoplanner_tpu.core import frames
 
-    dirs_body = raycast.ray_dirs_camera(cam)               # (H, W, 3)
+    dirs_body = raycast.ray_dirs_camera(cam, row_stride)   # (H, W, 3)
     dirs = frames.quat_rotate(quat[None, None, :], dirs_body)
     t_end = depth / jnp.maximum(dirs_body[..., 0], 1e-6)   # ray length
     dz = dirs[..., 2]
@@ -134,7 +136,8 @@ def polar_columns(depth: jnp.ndarray, pos: jnp.ndarray, quat: jnp.ndarray,
 
 def insert_depth_2d(logodds: jnp.ndarray, depth: jnp.ndarray,
                     pos: jnp.ndarray, quat: jnp.ndarray, cam: CameraParams,
-                    mp: MapParams, carve_samples: int = 48) -> jnp.ndarray:
+                    mp: MapParams, carve_samples: int = 48,
+                    row_stride: int = 1) -> jnp.ndarray:
     """Projected-plane depth fusion: one polar ray per image column.
 
     The 3-D strided carving of :func:`insert_depth` costs (H/2 x W/2) rays x
@@ -160,7 +163,8 @@ def insert_depth_2d(logodds: jnp.ndarray, depth: jnp.ndarray,
     l_miss = _l(mp.prob_miss)
     l_min = _l(mp.clamp_min)
     l_max = _l(mp.clamp_max)
-    r_hit_col, r_carve_col, u_dir = polar_columns(depth, pos, quat, cam, mp)
+    r_hit_col, r_carve_col, u_dir = polar_columns(depth, pos, quat, cam, mp,
+                                                  row_stride)
 
     # carve: W polar rays, fixed sample count, stop one cell short
     fr = (jnp.arange(carve_samples) + 0.5) / carve_samples

@@ -163,21 +163,22 @@ def _window_cells(cam: CameraParams, mp: MapParams):
 def insert_depth_2d_dense(logodds: jnp.ndarray, depth: jnp.ndarray,
                           pos: jnp.ndarray, quat: jnp.ndarray,
                           cam: CameraParams, mp: MapParams,
+                          row_stride: int = 1,
                           interpret: bool = False) -> jnp.ndarray:
     """Kernel-fused projected-plane depth fusion; single-env signature,
     vmappable over envs (the kernel batches through custom_vmap collapse)."""
-    return _flat_fuse(cam, mp, interpret)(
+    return _flat_fuse(cam, mp, row_stride, interpret)(
         logodds[None], depth[None], pos[None], quat[None])[0]
 
 
 def _fuse_flat(logodds, depth, pos, quat, cam: CameraParams, mp: MapParams,
-               interpret: bool):
+               row_stride: int, interpret: bool):
     E, H, W = logodds.shape
     ch, cw = _window_cells(cam, mp)
     Wt = -(-cam.width // 128) * 128    # table padded to whole 128-lane vregs
 
     r_hit, r_carve, _ = jax.vmap(
-        lambda d, p, q: occupancy.polar_columns(d, p, q, cam, mp)
+        lambda d, p, q: occupancy.polar_columns(d, p, q, cam, mp, row_stride)
     )(depth, pos, quat)
     tabs = jnp.stack([r_hit, r_carve], axis=1)             # (E, 2, Wcam)
     if Wt > cam.width:
@@ -212,10 +213,12 @@ def _fuse_flat(logodds, depth, pos, quat, cam: CameraParams, mp: MapParams,
 
 
 @functools.lru_cache(maxsize=None)
-def _flat_fuse(cam: CameraParams, mp: MapParams, interpret: bool):
+def _flat_fuse(cam: CameraParams, mp: MapParams, row_stride: int,
+               interpret: bool):
     @jax.custom_batching.custom_vmap
     def fuse_flat(logodds, depth, pos, quat):
-        return _fuse_flat(logodds, depth, pos, quat, cam, mp, interpret)
+        return _fuse_flat(logodds, depth, pos, quat, cam, mp, row_stride,
+                          interpret)
 
     def rule(axis_size, in_batched, *args):
         flat = []

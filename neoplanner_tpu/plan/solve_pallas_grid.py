@@ -61,34 +61,65 @@ def _make_grid_solver_kernel(statics, E_b, L, Hw, Ww, max_iters, history,
             """Bilinear window taps for (S, NB) world positions — the K2
             scheme (one-hot triangle weight rows built in registers,
             contracted against the VMEM window on the MXU), evaluated
-            in-place inside the solver program."""
+            in-place inside the solver program.
+
+            The solver is matmul-*count* bound, not FLOP bound (~2.4M
+            sub-MXU-tile matmuls per B=4096 bank at per-lane granularity),
+            so all L lanes of an env are stacked along the sample axis and
+            the value + du-gradient contractions share one matmul:
+            (2·L·S, Hw) @ (Hw, Ww) per env per evaluation — ~5x fewer,
+            ~4-8x larger matmuls than the per-lane form."""
             uraw = (py - org[1][None, :]) / res - 0.5
             vraw = (px - org[0][None, :]) / res - 0.5
             u = jnp.clip(uraw, 0.0, Hw - 1.001)
             v = jnp.clip(vraw, 0.0, Ww - 1.001)
+            LS = L * S
             dis_cols, ddu_cols, ddv_cols = [], [], []
             for e in range(E_b):
                 win_e = win_ref[e]       # one VMEM value per env, not per lane
+                # Stack this env's L lanes along the sample axis AFTER the
+                # (S, 1) -> (S, Hw) broadcast: the raw per-lane column slices
+                # sit at distinct lane offsets, and Mosaic rejects a dim-0
+                # concat of vectors whose non-concat (lane) offsets differ —
+                # the broadcast blocks are fresh offset-0 values, and S is a
+                # whole number of sublane tiles, so stacking them is legal.
+                wr_b, dwr_b, wc_b, dwc_b = [], [], [], []
                 for li in range(L):
                     lane = e * L + li
                     u_l = jax.lax.slice(u, (0, lane), (S, lane + 1))  # (S, 1)
                     v_l = jax.lax.slice(v, (0, lane), (S, lane + 1))
-                    du = u_l - iota_h                            # (S, Hw)
-                    dv = v_l - iota_w                            # (S, Ww)
-                    wr = jnp.maximum(1.0 - jnp.abs(du), 0.0)
-                    wc = jnp.maximum(1.0 - jnp.abs(dv), 0.0)
-                    mm = jnp.dot(wr, win_e, precision=_K2_PRECISION,
-                                 preferred_element_type=jnp.float32)
-                    dis_cols.append(jnp.sum(mm * wc, axis=1, keepdims=True))
+                    du = u_l - iota_h                        # (S, Hw)
+                    dv = v_l - iota_w                        # (S, Ww)
+                    wr_b.append(jnp.maximum(1.0 - jnp.abs(du), 0.0))
+                    wc_b.append(jnp.maximum(1.0 - jnp.abs(dv), 0.0))
                     if with_grad:
-                        dwr = jnp.where(jnp.abs(du) < 1.0, -jnp.sign(du), 0.0)
-                        dwc = jnp.where(jnp.abs(dv) < 1.0, -jnp.sign(dv), 0.0)
-                        mu = jnp.dot(dwr, win_e, precision=_K2_PRECISION,
-                                     preferred_element_type=jnp.float32)
-                        ddu_cols.append(
-                            jnp.sum(mu * wc, axis=1, keepdims=True))
-                        ddv_cols.append(
-                            jnp.sum(mm * dwc, axis=1, keepdims=True))
+                        dwr_b.append(
+                            jnp.where(jnp.abs(du) < 1.0, -jnp.sign(du), 0.0))
+                        dwc_b.append(
+                            jnp.where(jnp.abs(dv) < 1.0, -jnp.sign(dv), 0.0))
+                wc = jnp.concatenate(wc_b, axis=0)           # (L*S, Ww)
+                if with_grad:
+                    dwc = jnp.concatenate(dwc_b, axis=0)
+                    rows = jnp.concatenate(wr_b + dwr_b, axis=0)  # (2LS, Hw)
+                else:
+                    rows = jnp.concatenate(wr_b, axis=0)
+                mm_all = jnp.dot(rows, win_e, precision=_K2_PRECISION,
+                                 preferred_element_type=jnp.float32)
+                mm = jax.lax.slice(mm_all, (0, 0), (LS, Ww))
+                d_env = jnp.sum(mm * wc, axis=1, keepdims=True)   # (L*S, 1)
+                dis_cols += [jax.lax.slice(d_env, (li * S, 0),
+                                           ((li + 1) * S, 1))
+                             for li in range(L)]
+                if with_grad:
+                    mu = jax.lax.slice(mm_all, (LS, 0), (2 * LS, Ww))
+                    ddu_env = jnp.sum(mu * wc, axis=1, keepdims=True)
+                    ddv_env = jnp.sum(mm * dwc, axis=1, keepdims=True)
+                    ddu_cols += [jax.lax.slice(ddu_env, (li * S, 0),
+                                               ((li + 1) * S, 1))
+                                 for li in range(L)]
+                    ddv_cols += [jax.lax.slice(ddv_env, (li * S, 0),
+                                               ((li + 1) * S, 1))
+                                 for li in range(L)]
             dis = jnp.concatenate(dis_cols, axis=1)
             out_map = ((px < org[3][None, :]) | (py < org[4][None, :])
                        | (px >= org[5][None, :]) | (py >= org[6][None, :]))

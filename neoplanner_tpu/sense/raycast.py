@@ -24,17 +24,23 @@ from neoplanner_tpu.core.types import SHAPE_CYLINDER, BoxWorld
 _INF = 1e9
 
 
-def ray_dirs_camera(cam: CameraParams) -> jnp.ndarray:
+def ray_dirs_camera(cam: CameraParams, row_stride: int = 1) -> jnp.ndarray:
     """(H, W, 3) unit ray directions in the *body* frame (x fwd, y left, z up).
 
     Optical-frame pixel rays ((u-cx)/fx, (v-cy)/fy, 1) are rotated into the body
     frame: optical z -> body x, optical x -> -body y, optical y -> -body z.
+
+    row_stride > 1 keeps every stride-th row (centered offset) at the SAME
+    vertical FOV — a coarse vertical sampling for fusion-only frames, whose
+    2-D polar consumers reduce each column to one range anyway
+    (occupancy.polar_columns). Shrinking cam.height instead would narrow the
+    FOV (fy is tied to fx).
     """
     u = jnp.arange(cam.width) + 0.5
-    v = jnp.arange(cam.height) + 0.5
+    v = jnp.arange(row_stride // 2, cam.height, row_stride) + 0.5
     x_opt = (u[None, :] - cam.width / 2) / cam.fx
     y_opt = (v[:, None] - cam.height / 2) / cam.fy
-    ones = jnp.ones((cam.height, cam.width))
+    ones = jnp.ones((v.shape[0], cam.width))
     d_body = jnp.stack([ones, -x_opt * ones, -y_opt * ones], axis=-1)
     return d_body / jnp.linalg.norm(d_body, axis=-1, keepdims=True)
 
@@ -149,9 +155,11 @@ def _trace_rays(world: BoxWorld, pos: jnp.ndarray, dirs: jnp.ndarray
 
 
 def render_depth(world: BoxWorld, pos: jnp.ndarray, quat: jnp.ndarray,
-                 cam: CameraParams) -> jnp.ndarray:
-    """(H, W) z-depth image from a camera at `pos` with body attitude `quat`."""
-    dirs_body = ray_dirs_camera(cam)                       # (H, W, 3)
+                 cam: CameraParams, row_stride: int = 1) -> jnp.ndarray:
+    """(H, W) z-depth image from a camera at `pos` with body attitude `quat`.
+    row_stride > 1 renders only every stride-th row (same FOV) — the cheap
+    form for fusion-only frames."""
+    dirs_body = ray_dirs_camera(cam, row_stride)           # (H, W, 3)
     dirs = frames.quat_rotate(quat[None, None, :], dirs_body)
     t = _trace_rays(world, pos, dirs)
 
@@ -163,15 +171,15 @@ def render_depth(world: BoxWorld, pos: jnp.ndarray, quat: jnp.ndarray,
 
 
 def render_depth_auto(world: BoxWorld, pos: jnp.ndarray, quat: jnp.ndarray,
-                      cam: CameraParams) -> jnp.ndarray:
+                      cam: CameraParams, row_stride: int = 1) -> jnp.ndarray:
     """render_depth, via the fused Pallas trace kernel on TPU
     (sense/raycast_pallas.py; NEO_RENDER_BACKEND=xla reverts for A/B)."""
     import os
     if (jax.default_backend() == "tpu"
             and os.environ.get("NEO_RENDER_BACKEND", "pallas") != "xla"):
         from neoplanner_tpu.sense import raycast_pallas
-        return raycast_pallas.render_depth(world, pos, quat, cam)
-    return render_depth(world, pos, quat, cam)
+        return raycast_pallas.render_depth(world, pos, quat, cam, row_stride)
+    return render_depth(world, pos, quat, cam, row_stride)
 
 
 def depth_to_points(depth: jnp.ndarray, pos: jnp.ndarray, quat: jnp.ndarray,

@@ -169,11 +169,12 @@ def _trace_batch(dirs: jnp.ndarray, org: jnp.ndarray, prims: jnp.ndarray,
     return out[:, 0, :R]
 
 
-def _render_flat(world_leaves, pos, quat, cam: CameraParams, interpret: bool):
+def _render_flat(world_leaves, pos, quat, cam: CameraParams, row_stride: int,
+                 interpret: bool):
     """Batched render: leaves of a BoxWorld with leading env axis E."""
     world = BoxWorld(*world_leaves)
     E = pos.shape[0]
-    dirs_body = raycast.ray_dirs_camera(cam).reshape(-1, 3)     # (R, 3)
+    dirs_body = raycast.ray_dirs_camera(cam, row_stride).reshape(-1, 3)
     rot = jax.vmap(frames.quat_to_matrix)(quat)                 # (E, 3, 3)
     dirs = jnp.einsum("eij,rj->eir", rot, dirs_body)            # (E, 3, R)
     t = _trace_batch(dirs, pos, _pack_prims(world), interpret)  # (E, R)
@@ -185,15 +186,15 @@ def _render_flat(world_leaves, pos, quat, cam: CameraParams, interpret: bool):
     valid = (t < _INF) & (z_depth >= cam.min_range) \
         & (z_depth <= cam.max_range)
     depth = jnp.where(valid, z_depth, cam.max_range)
-    return depth.reshape(E, cam.height, cam.width)
+    return depth.reshape(E, -1, cam.width)
 
 
 @functools.lru_cache(maxsize=None)
-def _flat_render(cam: CameraParams, interpret: bool):
+def _flat_render(cam: CameraParams, row_stride: int, interpret: bool):
     @jax.custom_batching.custom_vmap
     def render_flat(centers, half, active, shape, pos, quat):
         return _render_flat((centers, half, active, shape), pos, quat, cam,
-                            interpret)
+                            row_stride, interpret)
 
     def rule(axis_size, in_batched, *args):
         flat = []
@@ -209,9 +210,10 @@ def _flat_render(cam: CameraParams, interpret: bool):
 
 
 def render_depth(world: BoxWorld, pos: jnp.ndarray, quat: jnp.ndarray,
-                 cam: CameraParams, interpret: bool = False) -> jnp.ndarray:
+                 cam: CameraParams, row_stride: int = 1,
+                 interpret: bool = False) -> jnp.ndarray:
     """(H, W) z-depth image — kernel-fused equivalent of
     raycast.render_depth; single-env signature, vmappable over envs."""
-    return _flat_render(cam, interpret)(
+    return _flat_render(cam, row_stride, interpret)(
         world.centers[None], world.half_sizes[None], world.active[None],
         world.shape[None], pos[None], quat[None])[0]

@@ -338,19 +338,28 @@ def fuse_frame(state: EnvState, mapp: MapParams, cam: CameraParams
                ) -> EnvState:
     """Render a depth frame from the current pose and fuse it into the
     log-odds grid (octomap_server's per-message insertion) — no ESDF rebuild.
-    Sensor-rate fusion interleaves this with tracking substeps."""
-    depth = raycast.render_depth_auto(state.world, state.drone.pos, state.drone.quat,
-                                 cam)
+    Sensor-rate fusion interleaves this with tracking substeps.
+
+    Fusion frames render at mapp.fusion_row_stride vertical stride (the 2-D
+    polar consumers reduce columns to one range each); the 3-D fusion mode
+    always renders full-res."""
+    rs = mapp.fusion_row_stride if mapp.fusion != "3d" else 1
+    depth = raycast.render_depth_auto(state.world, state.drone.pos,
+                                      state.drone.quat, cam, row_stride=rs)
     if mapp.fusion == "2d_dense":
         from neoplanner_tpu.mapping import occupancy_pallas
         logodds = occupancy_pallas.insert_depth_2d_dense(
             state.logodds, depth, state.drone.pos, state.drone.quat, cam,
-            mapp, interpret=jax.default_backend() != "tpu")
+            mapp, row_stride=rs, interpret=jax.default_backend() != "tpu")
+    elif mapp.fusion == "2d":
+        logodds = occupancy.insert_depth_2d(state.logodds, depth,
+                                            state.drone.pos,
+                                            state.drone.quat, cam, mapp,
+                                            row_stride=rs)
     else:
-        insert = (occupancy.insert_depth_2d if mapp.fusion == "2d"
-                  else occupancy.insert_depth)
-        logodds = insert(state.logodds, depth, state.drone.pos,
-                         state.drone.quat, cam, mapp)
+        logodds = occupancy.insert_depth(state.logodds, depth,
+                                         state.drone.pos, state.drone.quat,
+                                         cam, mapp)
     return state.replace(logodds=logodds)
 
 

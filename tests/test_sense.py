@@ -269,3 +269,42 @@ def test_fusion_map_agreement():
     free_dense = np.asarray(lo_dense) < -1e-3
     assert (free_2d & free_dense).sum() / max(free_2d.sum(), 1) > 0.9
     assert free_dense.sum() >= free_2d.sum()
+
+
+def test_row_strided_fusion_agreement():
+    """Fusion-frame row striding (MapParams.fusion_row_stride): a strided
+    render is exactly the row subset of the full render, and the fused polar
+    map it produces agrees with the full-resolution one (the 2-D consumers
+    reduce each column to one range, so coarse vertical sampling is enough)."""
+    from neoplanner_tpu.mapping import occupancy_pallas
+
+    mp = MapParams(width=128, height=96, origin_x=-2.0, origin_y=-4.8)
+    world = scenegen.generate(jax.random.PRNGKey(2), WorldParams(num_boxes=8))
+    stride = 4
+
+    quat = frames.quat_from_yaw(jnp.asarray(0.1))
+    pos = jnp.array([0.5, 0.2, 2.0])
+    full = raycast.render_depth(world, pos, quat, CAM)
+    strided = raycast.render_depth(world, pos, quat, CAM, row_stride=stride)
+    np.testing.assert_allclose(np.asarray(strided),
+                               np.asarray(full)[stride // 2::stride],
+                               rtol=1e-6, atol=1e-6)
+
+    poses = [jnp.array([0.5 + 0.8 * i, 0.2 * i, 2.0]) for i in range(5)]
+    yaws = [0.0, 0.1, -0.1, 0.2, 0.0]
+    lo_full = lo_str = occupancy.logodds_init(mp)
+    for pos, yaw in zip(poses, yaws):
+        quat = frames.quat_from_yaw(jnp.asarray(yaw))
+        depth = raycast.render_depth(world, pos, quat, CAM)
+        d_str = raycast.render_depth(world, pos, quat, CAM, row_stride=stride)
+        lo_full = occupancy_pallas.insert_depth_2d_dense(
+            lo_full, depth, pos, quat, CAM, mp, interpret=True)
+        lo_str = occupancy_pallas.insert_depth_2d_dense(
+            lo_str, d_str, pos, quat, CAM, mp, row_stride=stride,
+            interpret=True)
+
+    occ_full, occ_str = _binarize(lo_full, mp), _binarize(lo_str, mp)
+    assert _iou(occ_str, occ_full) > 0.75, _iou(occ_str, occ_full)
+    free_full = np.asarray(lo_full) < -1e-3
+    free_str = np.asarray(lo_str) < -1e-3
+    assert (free_str & free_full).sum() / max(free_str.sum(), 1) > 0.95
