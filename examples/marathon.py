@@ -80,7 +80,9 @@ def main():
                 sensing, fuse = "depth", 6
                 mapp = MapParams(width=256, height=192, origin_x=-4.0,
                                  origin_y=-9.6, edt_truncation=2.0,
-                                 fusion="2d_dense")
+                                 fusion="2d_dense",
+                                 fusion_row_stride=int(os.environ.get(
+                                     "MAR_ROW_STRIDE", "1")))
                 plan_map = "grid"
 
             reset = jax.jit(jax.vmap(lambda k, w: env.reset(
