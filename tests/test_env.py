@@ -158,3 +158,40 @@ def test_vision_sensor_rate_fusion_and_truncated_edt(world):
     near = exact < mapp.edt_truncation
     np.testing.assert_allclose(got[near], exact[near], rtol=1e-2, atol=1e-2)
     assert np.all(got[~near] >= mapp.edt_truncation - 2e-2)
+
+
+def test_sensor_rate_esdf_rebuild(world):
+    """esdf_rate > 1 rebuilds the truncated ESDF after interleaved frame
+    fusions (the reference recomputes per projected_map message,
+    esdf.py:29-33): with esdf_rate == fuse_frames no fusion happens after
+    the last rebuild, so the segment-end field must EXACTLY equal a fresh
+    rebuild from the final log-odds — while the default once-per-segment
+    cadence leaves a one-frame-stale field."""
+    from neoplanner_tpu.config import CameraParams
+
+    cam = CameraParams(width=64, height=48)
+    mapp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6,
+                     edt_truncation=2.0)
+    goal = jnp.array([10.0, 0.0])
+    step = jax.jit(env.step_segment, static_argnames=(
+        "pp", "mp", "sp", "mission_mode", "sensing", "mapp", "cam", "planner",
+        "np_cfg", "plan_map", "replan_mode", "fuse_frames", "esdf_rate"))
+
+    def run(esdf_rate):
+        state = env.reset(jax.random.PRNGKey(0), world, goal, PP, MP, mapp,
+                          sensing="depth")
+        for _ in range(3):
+            state, _ = step(state, PP, MP, SP, "manual", "depth", mapp, cam,
+                            fuse_frames=2, esdf_rate=esdf_rate)
+        return state
+
+    fresh = run(esdf_rate=2)
+    assert np.isfinite(np.asarray(fresh.drone.pos)).all()
+    want = np.asarray(env.rebuild_esdf(fresh, mapp).emap.esdf)
+    np.testing.assert_array_equal(np.asarray(fresh.emap.esdf), want)
+
+    # the default cadence still flies (its field may be up to one frame
+    # stale — whether that shows up in the truncated bf16 field depends on
+    # how far the drone moved, so no strict inequality here)
+    stale = run(esdf_rate=1)
+    assert np.isfinite(np.asarray(stale.drone.pos)).all()
