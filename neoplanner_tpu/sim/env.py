@@ -279,11 +279,14 @@ def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
     On TPU with the analytic scene metric backend the whole segment runs in
     one Pallas program (sim/track_pallas.py; NEO_TRACKER=xla reverts) —
     the lax.scan below is the reference/XLA form and the grid-metric path."""
-    if plan_map == "scene":
-        from neoplanner_tpu.sim import track_pallas
-        if track_pallas.enabled():
+    from neoplanner_tpu.sim import track_pallas
+    if track_pallas.enabled():
+        if plan_map == "scene":
             return track_pallas.track_segment(state, track_cmds, pp, mp, sp,
                                               i0)
+        if state.emap.esdf.shape[0] > 1:   # real per-env grid (not scene-lite)
+            return track_pallas.track_segment_grid(state, track_cmds, pp, mp,
+                                                   sp, i0)
     metric_map = state.scene if plan_map == "scene" else state.emap
     active_phase = (state.phase == missions.PHASE_MISSION)
     # takeoff climbs toward des_pos_z on held-position setpoints

@@ -13,9 +13,11 @@ closed-loop weighted metric with its analytic scene-SDF distance query
 
 Semantics mirror sim/env._track_segment exactly (golden test:
 tests/test_track_pallas.py pins drone state, metrics, and trace against the
-XLA scan). Scene (analytic) metric backend only — the sensed-grid path keeps
-the XLA scan (its metric query samples the per-env ESDF grid, and vision
-tracking is not the bottleneck). NEO_TRACKER=xla reverts.
+XLA scan). Both metric backends are served: the scene (analytic) form
+queries the SDF in-kernel; the sensed-grid form (track_segment_grid) runs
+the same kernel without a distance query and applies the collision metric
+outside at the exported 10 Hz tick positions — exact, since the map query
+never feeds back into the dynamics. NEO_TRACKER=xla reverts.
 """
 
 from __future__ import annotations
@@ -89,7 +91,12 @@ def _quat_from_accel_yaw_rows(ax, ay, az, yaw, g):
     return tuple(x / qn for x in q)
 
 
-def _make_track_kernel(spr, i0, n_prims, params):
+def _make_track_kernel(spr, i0, n_prims, params, with_dis=True):
+    """with_dis=False (grid metric backend) skips the in-kernel analytic
+    distance query: the collision metric term is applied OUTSIDE the kernel
+    by sampling the per-env ESDF at the 10 Hz tick positions (exported via
+    trace row 15's tick mask) — exact, because the map query never feeds
+    back into the dynamics."""
     (dt, kp_pos, kp_vel, a_max, drag, yaw_rate_max, g, des_pos_z,
      v_max, safe_dis, reach_thr) = params
 
@@ -151,13 +158,14 @@ def _make_track_kernel(spr, i0, n_prims, params):
             ddx, ddy = px - mpx, py - mpy
             d_dist = jnp.sqrt(ddx * ddx + ddy * ddy)
             vviol = jnp.maximum(vx * vx + vy * vy - v_max * v_max, 0.0)
-            dis = _scene_min_dist(prims_ref, n_prims, px[None, :],
-                                  py[None, :], False)[0]
-            dviol = jnp.maximum(safe_dis - jnp.maximum(dis, 0.0), 0.0)
             tickf = jnp.where(tick, 1.0, 0.0)
+            if with_dis:
+                dis = _scene_min_dist(prims_ref, n_prims, px[None, :],
+                                      py[None, :], False)[0]
+                dviol = jnp.maximum(safe_dis - jnp.maximum(dis, 0.0), 0.0)
+                m2 = m2 + tickf * dviol * dviol * dviol
             m0 = m0 + tickf * d_dist
             m1 = m1 + tickf * vviol * vviol * vviol
-            m2 = m2 + tickf * dviol * dviol * dviol
             mpx = jnp.where(tick, px, mpx)
             mpy = jnp.where(tick, py, mpy)
             steps = steps + jnp.where((active > 0.5) & (reached < 0.5),
@@ -166,7 +174,7 @@ def _make_track_kernel(spr, i0, n_prims, params):
             zero = jnp.zeros_like(px)
             trace_ref[pl.ds(t * 16, 16), :] = jnp.stack(
                 [px, py, pz, vx, vy, vz, pdx, pdy, pdz, vdx, vdy, zero,
-                 adx, ady, zero, zero])
+                 adx, ady, zero, tickf])
             return (px, py, pz, vx, vy, vz, yaw, qw, qx, qy, qz,
                     mpx, mpy, m0, m1, m2, reached, steps)
 
@@ -186,7 +194,8 @@ def _pad_lanes(a, np_):
     return a
 
 
-def _track_batch(cmds, st, prims, spr, i0, params, interpret):
+def _track_batch(cmds, st, prims, spr, i0, params, interpret,
+                 with_dis=True):
     N = st.shape[0]
     n_prims = prims.shape[1]
     np_ = N + ((-N) % _NB)
@@ -197,7 +206,7 @@ def _track_batch(cmds, st, prims, spr, i0, params, interpret):
     st_t = _pad_lanes(st, np_).T.astype(jnp.float32)
     prims_t = _pad_lanes(prims.reshape(N, n_prims * 6),
                          np_).T.astype(jnp.float32)
-    kernel = _make_track_kernel(spr, i0, n_prims, params)
+    kernel = _make_track_kernel(spr, i0, n_prims, params, with_dis)
     spec = lambda rows: pl.BlockSpec((rows, _NB), lambda i: (0, i),  # noqa: E731
                                      memory_space=pltpu.VMEM)
     out, trace = pl.pallas_call(
@@ -216,7 +225,7 @@ def _track_batch(cmds, st, prims, spr, i0, params, interpret):
                             + spr * 16) * 4 * np_,
             transcendentals=spr * 8 * np_),
     )(cmd_t, st_t, prims_t)
-    return out.T[:N], trace.T[:N].reshape(N, spr, 16)[:, :, :15]
+    return out.T[:N], trace.T[:N].reshape(N, spr, 16)
 
 
 def _collapse_rule(fn):
@@ -233,10 +242,11 @@ def _collapse_rule(fn):
 
 
 @functools.lru_cache(maxsize=None)
-def _flat_tracker(spr, i0, n_prims, params, interpret):
+def _flat_tracker(spr, i0, n_prims, params, interpret, with_dis=True):
     @jax.custom_batching.custom_vmap
     def track_flat(cmds, st, prims):
-        return _track_batch(cmds, st, prims, spr, i0, params, interpret)
+        return _track_batch(cmds, st, prims, spr, i0, params, interpret,
+                            with_dis)
 
     track_flat.def_vmap(_collapse_rule(track_flat))
     return track_flat
@@ -250,21 +260,12 @@ def track_segment(state, track_cmds: jnp.ndarray, pp: PlannerParams,
     Drop-in for sim/env._track_segment on the scene (analytic) metric
     backend: returns (drone, reached, steps, metrics, metric_pos,
     trace (spr, 5, 3)). Vmappable (custom_vmap collapse)."""
-    from neoplanner_tpu.sim import missions
     spr = track_cmds.shape[0]
     params = (sp.dt, sp.kp_pos, sp.kp_vel, sp.a_max, sp.drag,
               sp.yaw_rate_max, sp.g, mp.des_pos_z, pp.v_max, pp.safe_dis,
               mp.target_reach_threshold)
     prims = pack_prims(state.scene)
-    active = state.phase == missions.PHASE_MISSION
-    moving = active | (state.phase == missions.PHASE_TAKEOFF)
-    st = jnp.concatenate([
-        state.drone.pos, state.drone.vel, state.drone.yaw[None],
-        state.drone.quat, state.goal, state.metric_pos, state.metrics,
-        jnp.stack([state.reached.astype(jnp.float32),
-                   state.steps.astype(jnp.float32),
-                   active.astype(jnp.float32),
-                   moving.astype(jnp.float32)])])
+    st = _pack_state(state)
     fn = _flat_tracker(spr, i0, prims.shape[0], params, interpret)
     out, trace = fn(track_cmds.reshape(spr, 6)[None], st[None], prims[None])
     out, trace = out[0], trace[0]
@@ -273,4 +274,53 @@ def track_segment(state, track_cmds: jnp.ndarray, pp: PlannerParams,
     drone = DroneState(pos=out[0:3], vel=out[3:6], quat=out[7:11],
                        yaw=out[6])
     return (drone, out[16] > 0.5, out[17].astype(jnp.int32), out[13:16],
-            out[11:13], trace.reshape(spr, 5, 3))
+            out[11:13], trace[:, :15].reshape(spr, 5, 3))
+
+
+def _pack_state(state):
+    from neoplanner_tpu.sim import missions
+    active = state.phase == missions.PHASE_MISSION
+    moving = active | (state.phase == missions.PHASE_TAKEOFF)
+    return jnp.concatenate([
+        state.drone.pos, state.drone.vel, state.drone.yaw[None],
+        state.drone.quat, state.goal, state.metric_pos, state.metrics,
+        jnp.stack([state.reached.astype(jnp.float32),
+                   state.steps.astype(jnp.float32),
+                   active.astype(jnp.float32),
+                   moving.astype(jnp.float32)])])
+
+
+def track_segment_grid(state, track_cmds: jnp.ndarray, pp: PlannerParams,
+                       mp: MissionParams, sp: SimParams, i0: int = 0,
+                       interpret: bool = False):
+    """track_segment for the sensed-grid metric backend.
+
+    The kernel runs the dynamics/metric loop without a distance query and
+    exports the 10 Hz tick mask (trace row 15); the collision term is then
+    applied outside by nearest-sampling the per-env ESDF at the (statically
+    indexed) tick substeps' positions — the same query the XLA scan makes
+    (sim/env.py metric tick; mapping/query.distance nearest mode), so the
+    result is exact, not an approximation."""
+    from neoplanner_tpu.mapping import esdf as esdf_map
+    spr = track_cmds.shape[0]
+    params = (sp.dt, sp.kp_pos, sp.kp_vel, sp.a_max, sp.drag,
+              sp.yaw_rate_max, sp.g, mp.des_pos_z, pp.v_max, pp.safe_dis,
+              mp.target_reach_threshold)
+    st = _pack_state(state)
+    prims = jnp.zeros((1, 6), jnp.float32)                 # unused lane
+    fn = _flat_tracker(spr, i0, 1, params, interpret, with_dis=False)
+    out, trace = fn(track_cmds.reshape(spr, 6)[None], st[None], prims[None])
+    out, trace = out[0], trace[0]
+
+    # collision metric at the statically-known tick substeps
+    t_ticks = [t for t in range(spr) if (t + i0) % _METRIC_EVERY == 0]
+    rows = trace[jnp.asarray(t_ticks)]                     # (T, 16)
+    dis, _ = esdf_map.sample(state.emap, rows[:, :2], mode="nearest")
+    dviol = jnp.maximum(pp.safe_dis - jnp.maximum(dis, 0.0), 0.0)
+    m2_extra = jnp.sum(rows[:, 15] * dviol ** 3)
+    metrics = out[13:16] + jnp.array([0.0, 0.0, 1.0]) * m2_extra
+
+    drone = DroneState(pos=out[0:3], vel=out[3:6], quat=out[7:11],
+                       yaw=out[6])
+    return (drone, out[16] > 0.5, out[17].astype(jnp.int32), metrics,
+            out[11:13], trace[:, :15].reshape(spr, 5, 3))

@@ -101,3 +101,64 @@ def test_non_mission_phase_holds():
     _assert_match(want, got)
     np.testing.assert_allclose(np.asarray(got[0].pos),
                                np.asarray(states.drone.pos), atol=1e-6)
+
+
+def _grid_states(n=4, goal=(20.0, 0.0)):
+    """Depth-mode reset: per-env sensed grids (the vision tracker's input)."""
+    mapp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6,
+                     edt_truncation=2.0)
+    from neoplanner_tpu.config import CameraParams
+    cam = CameraParams(width=64, height=48)
+    worlds = scenegen.generate_batch(jax.random.PRNGKey(0), n,
+                                     WorldParams(num_boxes=8))
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    states = jax.vmap(lambda k, w: env.reset(
+        k, w, jnp.array(goal), PP, MP, mapp, sensing="depth"))(keys, worlds)
+    # fuse one frame + rebuild so the ESDF is a real sensed field
+    states = jax.vmap(lambda s: env.sense_and_map(s, mapp, cam))(states)
+    return states
+
+
+def _run_both_grid(states, cmds, i0=0):
+    want = jax.vmap(lambda s, c: env._track_segment(
+        s, c, PP, MP, SP, "grid", i0=i0))(states, cmds)
+    got = jax.vmap(lambda s, c: track_pallas.track_segment_grid(
+        s, c, PP, MP, SP, i0=i0, interpret=True))(states, cmds)
+    return want, got
+
+
+def test_grid_tracking_segment_matches_xla():
+    """The grid-metric variant (kernel without a distance query + outside
+    ESDF taps at the exported tick positions) equals the XLA scan exactly."""
+    # ground-truth rasterized grid (not the sensed one: a parked drone only
+    # violates on cells the map actually knows about)
+    mapp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
+    worlds = scenegen.generate_batch(jax.random.PRNGKey(0), 4,
+                                     WorldParams(num_boxes=8))
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    states = jax.vmap(lambda k, w: env.reset(
+        k, w, jnp.array([20.0, 0.0]), PP, MP, mapp,
+        plan_map="grid"))(keys, worlds)
+    # park each env right next to its first obstacle so the collision term
+    # of the 10 Hz metric actually fires (holding position keeps the drone
+    # inside the safe_dis ring all segment)
+    near = states.world.centers[:, 0, :2] \
+        + states.world.half_sizes[:, 0, :2] + 0.15
+    drone = states.drone.replace(
+        pos=jnp.concatenate([near, states.drone.pos[:, 2:]], axis=1))
+    states = states.replace(drone=drone)
+    cmds = jnp.broadcast_to(
+        jnp.stack([near, jnp.zeros_like(near), jnp.zeros_like(near)],
+                  axis=1)[:, None], (4, 60, 3, 2))
+    want, got = _run_both_grid(states, cmds)
+    _assert_match(want, got)
+    # the collision term must actually fire somewhere, or the test is vacuous
+    assert float(np.asarray(want[3])[:, 2].max()) > 0.0
+
+
+def test_grid_tracking_reached_freeze_and_offset():
+    states = _grid_states(goal=(0.55, 0.0))
+    cmds = _cmds(4)
+    want, got = _run_both_grid(states, cmds, i0=30)
+    _assert_match(want, got)
+    assert bool(np.asarray(want[1]).any()), "test should exercise reach"
