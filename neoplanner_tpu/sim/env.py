@@ -198,7 +198,8 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
 def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
             planner: str = "expert", net_vars=None, np_cfg=None,
             cam: Optional[CameraParams] = None, plan_map: str = "grid",
-            replan_mode: str = "periodic"):
+            replan_mode: str = "periodic",
+            depth: Optional[jnp.ndarray] = None):
     """Plan from the state one replan period ahead (buffer row steps_per_replan).
 
     ``planner`` is the reference's selected_planner dispatch
@@ -249,8 +250,9 @@ def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
         traj = geo.geo_plan_device(state.emap, head, tail, k_p, pp)
     elif planner in ("nn", "neo"):
         assert net_vars is not None and np_cfg is not None and cam is not None
-        depth = raycast.render_depth_auto(state.world, state.drone.pos,
-                                     state.drone.quat, cam)
+        if depth is None:
+            depth = raycast.render_depth_auto(state.world, state.drone.pos,
+                                              state.drone.quat, cam)
         if planner == "nn":
             from neoplanner_tpu.plan import nn_init
             traj = nn_init.nn_trajectory(net_vars, np_cfg, depth, state.drone,
@@ -337,7 +339,8 @@ def _track_segment(state: EnvState, track_cmds: jnp.ndarray,
     return drone, reached, steps, metrics, metric_pos, trace
 
 
-def fuse_frame(state: EnvState, mapp: MapParams, cam: CameraParams
+def fuse_frame(state: EnvState, mapp: MapParams, cam: CameraParams,
+               depth: Optional[jnp.ndarray] = None, depth_stride: int = 1
                ) -> EnvState:
     """Render a depth frame from the current pose and fuse it into the
     log-odds grid (octomap_server's per-message insertion) — no ESDF rebuild.
@@ -345,10 +348,17 @@ def fuse_frame(state: EnvState, mapp: MapParams, cam: CameraParams
 
     Fusion frames render at mapp.fusion_row_stride vertical stride (the 2-D
     polar consumers reduce columns to one range each); the 3-D fusion mode
-    always renders full-res."""
-    rs = mapp.fusion_row_stride if mapp.fusion != "3d" else 1
-    depth = raycast.render_depth_auto(state.world, state.drone.pos,
-                                      state.drone.quat, cam, row_stride=rs)
+    always renders full-res. A pre-rendered ``depth`` frame (with the stride
+    it was rendered at) skips the render — the replan-time frame is shared
+    with the NN this way, one camera stream feeding both consumers as the
+    reference's topics do."""
+    if depth is not None:
+        rs = depth_stride
+    else:
+        rs = mapp.fusion_row_stride if mapp.fusion != "3d" else 1
+        depth = raycast.render_depth_auto(state.world, state.drone.pos,
+                                          state.drone.quat, cam,
+                                          row_stride=rs)
     if mapp.fusion == "2d_dense":
         from neoplanner_tpu.mapping import occupancy_pallas
         logodds = occupancy_pallas.insert_depth_2d_dense(
@@ -378,14 +388,16 @@ def rebuild_esdf(state: EnvState, mapp: MapParams) -> EnvState:
     return state.replace(emap=emap)
 
 
-def sense_and_map(state: EnvState, mapp: MapParams, cam: CameraParams
+def sense_and_map(state: EnvState, mapp: MapParams, cam: CameraParams,
+                  depth: Optional[jnp.ndarray] = None, depth_stride: int = 1
                   ) -> EnvState:
     """Render a depth frame from the current pose, fuse it, rebuild the ESDF.
 
     The perception side-chain of the reference (depth cam -> octomap_server ->
     projected_map -> ESDF.occupancy_map_cb, SURVEY.md §3.1) as one fused pass.
     """
-    return rebuild_esdf(fuse_frame(state, mapp, cam), mapp)
+    return rebuild_esdf(fuse_frame(state, mapp, cam, depth, depth_stride),
+                        mapp)
 
 
 def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
@@ -437,10 +449,19 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
 
     # --- perception (onboard mode): one depth frame fused per replan period —
     # the reference's octomap updates continuously but the planner only consumes
-    # the map at replan time
+    # the map at replan time. With an NN planner the replan-time frame is
+    # rendered ONCE at full resolution and shared between fusion and the net
+    # (the reference's camera topic feeds both octomap_server and NNPlanner);
+    # expert-family planners keep the cheap row-strided fusion render.
+    nn_depth = None
     if sensing == "depth":
         assert mapp is not None and cam is not None
-        state = sense_and_map(state, mapp, cam)
+        if planner in ("nn", "neo"):
+            nn_depth = raycast.render_depth_auto(
+                state.world, state.drone.pos, state.drone.quat, cam)
+            state = sense_and_map(state, mapp, cam, depth=nn_depth)
+        else:
+            state = sense_and_map(state, mapp, cam)
 
     # --- takeoff / hover phases: climb to hover height, then start the mission
     at_height = jnp.abs(state.drone.pos[2] - mp.hover_height) < 0.05
@@ -458,7 +479,8 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
         # online keeps replanning every segment until reached (:383-388)
         do_replan = do_replan & ~state.near_goal
     traj, new_cmd, near, key, plan_init, target_state = _replan(
-        state, pp, mp, planner, net_vars, np_cfg, cam, plan_map, replan_mode)
+        state, pp, mp, planner, net_vars, np_cfg, cam, plan_map, replan_mode,
+        depth=nn_depth)
     plan_ok = traj.ok & do_replan
 
     # --- des-state buffer: this segment tracks rows [0, spr); the next buffer is

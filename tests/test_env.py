@@ -195,3 +195,34 @@ def test_sensor_rate_esdf_rebuild(world):
     # how far the drone moved, so no strict inequality here)
     stale = run(esdf_rate=1)
     assert np.isfinite(np.asarray(stale.drone.pos)).all()
+
+
+def test_neo_replan_frame_shared_with_fusion(world):
+    """With an NN planner in depth mode, the replan-time camera frame is
+    rendered once at full resolution and feeds BOTH the map fusion and the
+    net (the reference's camera topic topology): the fused log-odds after a
+    neo segment must be bit-identical to manually fusing the full-res frame,
+    even when fusion_row_stride would stride expert-mode fusion frames."""
+    from neoplanner_tpu.config import CameraParams, NetParams
+    from neoplanner_tpu.learn import train as train_mod
+    from neoplanner_tpu.sense import raycast
+
+    cam = CameraParams(width=64, height=48)
+    netp = NetParams(img_width=64, img_height=48, backbone="smallconv")
+    net_vars = train_mod.init_params(jax.random.PRNGKey(0), netp)
+    mapp = MapParams(width=128, height=96, origin_x=-2.0, origin_y=-4.8,
+                     edt_truncation=2.0, fusion="2d_dense",
+                     fusion_row_stride=4)
+    state = env.reset(jax.random.PRNGKey(0), world, jnp.array([8.0, 0.0]),
+                      PP, MP, mapp, sensing="depth")
+
+    depth_full = raycast.render_depth_auto(state.world, state.drone.pos,
+                                           state.drone.quat, cam)
+    want = env.fuse_frame(state, mapp, cam, depth=depth_full).logodds
+
+    step = jax.jit(env.step_segment, static_argnames=(
+        "pp", "mp", "sp", "mission_mode", "sensing", "mapp", "cam", "planner",
+        "np_cfg", "plan_map"))
+    out, _ = step(state, PP, MP, SP, "manual", "depth", mapp, cam,
+                  planner="neo", net_vars=net_vars, np_cfg=netp)
+    np.testing.assert_array_equal(np.asarray(out.logodds), np.asarray(want))
