@@ -16,7 +16,7 @@ portable/interpret fallback and the golden reference.
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -129,3 +129,98 @@ def pass2(g2: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
                                       bytes_accessed=2 * H * W * 4,
                                       transcendentals=0),
     )(g2.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Fused truncated rebuild: log-odds -> bf16 truncated ESDF in ONE program.
+#
+# The vision loop's per-segment rebuild (sim/env.rebuild_esdf) was a chain of
+# XLA passes — binarize, two cummax scans (pass 1), the banded pass-2 kernel,
+# sqrt, clamp, bf16 cast — each a full HBM round-trip of the (H, W) grid per
+# env (~25x off the HBM roofline at B=4096). Truncation makes pass 1 banded
+# too (any true distance < R has its row offset inside the band), so the
+# whole transform is 4R shifted min-adds on a VMEM-resident slab:
+#
+#   pass 1 (lanes):    g2[i,j]  = min_{|d|<=R, occ(i,j+d)} d²,  else (R+1)²
+#   pass 2 (sublanes): d2[i,j]  = min(R², min_{|d|<=R} d² + g2[i+d,j])
+#
+# One HBM read of the f32 log-odds, one bf16 write of the field per env.
+# Golden: ops/edt.edt_truncated over mapping/occupancy.to_occupancy
+# (tests/test_edt.py).
+# ---------------------------------------------------------------------------
+
+
+def _make_fused_trunc_kernel(H, W, radius, thr, res, max_dist):
+    r2c = float((radius + 1) ** 2)     # pass-1 clamp (out-of-band rows)
+    r2 = float(radius * radius)        # pass-2 clamp (the field's ceiling)
+
+    def kernel(lo_ref, out_ref):
+        lo = lo_ref[0]                                     # (H, W)
+        g = jnp.where(lo > thr, 0.0, r2c)                  # d² = 0 when occupied
+        col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+
+        acc = g
+        for d in range(1, radius + 1):
+            dd = float(d * d)
+            # roll takes non-negative shifts only; W-d ≡ -d cyclically
+            dn = jnp.where(col < W - d, pltpu.roll(g, W - d, 1), r2c)
+            up = jnp.where(col >= d, pltpu.roll(g, d, 1), r2c)
+            acc = jnp.minimum(acc, jnp.minimum(dn, up) + dd)
+
+        g2 = acc                                           # already <= r2c
+        out = jnp.minimum(g2, r2)
+        for d in range(1, min(radius, H - 1) + 1):
+            dd = float(d * d)
+            dn = jnp.where(row < H - d, pltpu.roll(g2, H - d, 0), r2c)
+            up = jnp.where(row >= d, pltpu.roll(g2, d, 0), r2c)
+            out = jnp.minimum(out, jnp.minimum(dn, up) + dd)
+
+        dist = jnp.sqrt(jnp.minimum(out, r2)) * res
+        out_ref[0] = jnp.minimum(dist, max_dist).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _fused_trunc_flat(lo, radius, thr, res, max_dist, interpret):
+    E, H, W = lo.shape
+    return pl.pallas_call(
+        _make_fused_trunc_kernel(H, W, radius, thr, res, max_dist),
+        interpret=interpret,
+        grid=(E,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda e: (e, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda e: (e, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, H, W), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=E * H * W * 8 * radius,
+            bytes_accessed=E * H * W * 6,
+            transcendentals=E * H * W),
+    )(lo.astype(jnp.float32))
+
+
+def rebuild_truncated_lite(logodds: jnp.ndarray, thr: float, resolution,
+                           max_dist: float,
+                           interpret: bool = False) -> jnp.ndarray:
+    """bf16 truncated ESDF straight from a log-odds grid; single-env
+    signature, vmappable (custom_vmap collapse)."""
+    import math as _math
+    radius = max(1, int(_math.ceil(max_dist / float(resolution))))
+    return _flat_trunc(radius, float(thr), float(resolution),
+                       float(max_dist), interpret)(logodds[None])[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_trunc(radius, thr, res, max_dist, interpret):
+    @jax.custom_batching.custom_vmap
+    def fused(lo):
+        return _fused_trunc_flat(lo, radius, thr, res, max_dist, interpret)
+
+    def rule(axis_size, in_batched, lo):
+        flat = lo.reshape((-1,) + lo.shape[2:])
+        out = fused(flat)
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    fused.def_vmap(rule)
+    return fused

@@ -380,8 +380,28 @@ def rebuild_esdf(state: EnvState, mapp: MapParams) -> EnvState:
     """Binarize the fused log-odds and rebuild the (optionally truncated) ESDF
     (ESDF.occupancy_map_cb, esdf.py:11-33). Keeps the state's memory profile:
     a lite map (depth-mode reset) rebuilds lite."""
-    occ = occupancy.to_occupancy(state.logodds, mapp)
+    import os
     lite = state.emap.occupancy.shape != state.emap.esdf.shape
+    if (lite and mapp.edt_truncation > 0.0
+            and state.logodds.shape[0] % 8 == 0
+            and jax.default_backend() == "tpu"
+            and os.environ.get("NEO_EDT_BACKEND", "fused") != "xla"):
+        # fused rebuild: binarize + banded EDT + clamp + bf16 in one Pallas
+        # program per env (ops/edt_pallas.rebuild_truncated_lite;
+        # NEO_EDT_BACKEND=xla reverts to the pass chain for A/B)
+        from neoplanner_tpu.core.types import ESDFMap
+        from neoplanner_tpu.ops import edt_pallas
+        thr = occupancy._l(mapp.occ_threshold) + 1e-6
+        esdf = edt_pallas.rebuild_truncated_lite(
+            state.logodds, float(thr), mapp.resolution, mapp.edt_truncation)
+        emap = ESDFMap(
+            occupancy=jnp.zeros((1, 1)), esdf=esdf,
+            grad_x=jnp.zeros((1, 1)), grad_y=jnp.zeros((1, 1)),
+            origin=jnp.array([mapp.origin_x, mapp.origin_y],
+                             dtype=jnp.float32),
+            resolution=jnp.asarray(mapp.resolution, dtype=jnp.float32))
+        return state.replace(emap=emap)
+    occ = occupancy.to_occupancy(state.logodds, mapp)
     emap = esdf_map.build(occ, jnp.array([mapp.origin_x, mapp.origin_y]),
                           mapp.resolution, max_dist=mapp.edt_truncation,
                           lite=lite)

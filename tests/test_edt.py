@@ -115,3 +115,41 @@ def test_pass2_banded_kernel_matches_xla():
     got_b = np.asarray(jax.vmap(lambda g: edt_pallas.pass2_banded(
         g, radius, interpret=True))(g2_b))
     np.testing.assert_allclose(got_b, want_b, atol=1e-5)
+
+
+def test_fused_truncated_rebuild(rng):
+    """The single-program rebuild (binarize + banded EDT both axes + clamp +
+    bf16, ops/edt_pallas.rebuild_truncated_lite) equals the XLA pass chain
+    (to_occupancy -> edt_truncated -> bf16) on random log-odds grids."""
+    from neoplanner_tpu.config import MapParams
+    from neoplanner_tpu.mapping import occupancy
+    from neoplanner_tpu.ops import edt_pallas
+
+    mp = MapParams()
+    thr = occupancy._l(mp.occ_threshold) + 1e-6
+    for h, w, md in ((48, 128, 2.0), (192, 256, 2.0), (64, 128, 0.7)):
+        logodds = jnp.asarray(
+            rng.uniform(-2.0, 2.0, size=(h, w)).astype(np.float32))
+        occ = occupancy.to_occupancy(logodds, mp)
+        want = np.asarray(
+            edt.edt_truncated(occ, mp.resolution, md).astype(jnp.bfloat16)
+            .astype(jnp.float32))
+        got = np.asarray(
+            edt_pallas.rebuild_truncated_lite(
+                logodds, float(thr), mp.resolution, md,
+                interpret=True).astype(jnp.float32))
+        np.testing.assert_array_equal(got, want)
+
+    # batched (custom_vmap collapse), sparse occupancy
+    lo_b = jnp.asarray(
+        (rng.uniform(0, 1, size=(3, 48, 128)) < 0.01).astype(np.float32) * 3.0
+        - 1.0)
+    got_b = jax.vmap(lambda lo: edt_pallas.rebuild_truncated_lite(
+        lo, float(thr), mp.resolution, 2.0, interpret=True))(lo_b)
+    for e in range(3):
+        occ = occupancy.to_occupancy(lo_b[e], mp)
+        want = np.asarray(
+            edt.edt_truncated(occ, mp.resolution, 2.0).astype(jnp.bfloat16)
+            .astype(jnp.float32))
+        np.testing.assert_array_equal(
+            np.asarray(got_b[e].astype(jnp.float32)), want)
