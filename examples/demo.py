@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--fuse-frames", type=int, default=1,
                     help="depth frames fused per segment (sensor-rate fusion; "
                          "depth sensing only)")
+    ap.add_argument("--row-stride", type=int, default=1,
+                    help="vertical row stride for fusion-frame rendering "
+                         "(MapParams.fusion_row_stride; 1 = reference "
+                         "full-res cadence)")
+    ap.add_argument("--esdf-rate", type=int, default=1,
+                    help="truncated-ESDF rebuilds per segment (sensor-rate "
+                         "field, needs --fuse-frames > 1)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--max-segments", type=int, default=60)
     args = ap.parse_args()
@@ -52,7 +59,7 @@ def main():
 
     pp = PlannerParams(max_iters=96)
     mp, sp = MissionParams(), SimParams()
-    mapp = MapParams()
+    mapp = MapParams(fusion_row_stride=args.row_stride)
     cam = CameraParams(width=160, height=120)
 
     if args.world:
@@ -73,14 +80,15 @@ def main():
                       plan_map=args.plan_map)
     step = jax.jit(env.step_segment, static_argnames=(
         "pp", "mp", "sp", "mission_mode", "sensing", "mapp", "cam", "planner",
-        "np_cfg", "plan_map", "replan_mode", "fuse_frames"))
+        "np_cfg", "plan_map", "replan_mode", "fuse_frames", "esdf_rate"))
 
     t0 = time.time()
     path = []
     for seg in range(args.max_segments):
         state, info = step(state, pp, mp, sp, "manual", args.sensing, mapp, cam,
                            args.planner, net_vars, np_cfg, args.plan_map,
-                           args.replan_mode, args.fuse_frames)
+                           args.replan_mode, args.fuse_frames,
+                           esdf_rate=args.esdf_rate)
         path.append(np.asarray(state.drone.pos[:2]))
         if bool(state.reached) or bool(state.failed):
             break
