@@ -63,7 +63,7 @@ def main():
     cam = CameraParams(width=160, height=120)
 
     if args.world:
-        world = worldio.parse_world(args.world)
+        world = worldio.parse_world(args.world, max_boxes=None)
     else:
         world = scenegen.generate(jax.random.PRNGKey(args.seed), WorldParams())
 

@@ -66,7 +66,7 @@ def main():
             world = scenegen.generate(jax.random.PRNGKey(1000 + wseed), wp)
             world_label = f"rand_world_{wseed}"
         else:
-            world = worldio.parse_world(str(wname))
+            world = worldio.parse_world(str(wname), max_boxes=None)
             world_label = os.path.splitext(os.path.basename(str(wname)))[0]
         loaded.append((world, world_label))
     cap = max(max(int(np.asarray(w.active).sum()) for w, _ in loaded), 8)

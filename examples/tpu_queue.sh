@@ -8,6 +8,9 @@ echo "edt exit=$? $(date +%H:%M:%S)"; tail -6 /tmp/q_edt.log
 echo "--- 1. bench.py flagship (validates tracker trace change, warms driver cache)"
 timeout 3000 python bench.py > /tmp/q_bench.log 2>&1
 echo "bench exit=$? $(date +%H:%M:%S)"; tail -2 /tmp/q_bench.log
+echo "--- 1b. scene stage profile (early-exit solver A/B)"
+timeout 3000 python examples/profile_stages.py > /tmp/q_stages.log 2>&1
+echo "stages exit=$? $(date +%H:%M:%S)"; tail -10 /tmp/q_stages.log
 echo "--- 2. vision glue profile B=4096"
 timeout 4000 python examples/profile_vision_glue.py > /tmp/q_vglue.log 2>&1
 echo "vglue exit=$? $(date +%H:%M:%S)"; tail -16 /tmp/q_vglue.log

@@ -154,10 +154,22 @@ def _fuse_call(E_b, ch, cw, Wt, Wcam, fx, res, l_hit, l_miss, l_min, l_max,
 
 
 def _window_cells(cam: CameraParams, mp: MapParams):
-    # capped at 128 cells (12.8 m at 0.1 m): the per-row gather works on one
-    # 128-lane vreg, and 128 covers the 6 m sensor range with margin
+    # the per-row gather works on one 128-lane vreg, so the update window is
+    # capped at 128 cells (12.8 m at 0.1 m); window_fits() gates the dense
+    # backend on that cap so over-range configs fall back to the scatter form
+    # instead of silently dropping far hits/carves
     c = 2 * int(math.ceil(cam.max_range / mp.resolution)) + 8
     return min(c, mp.height, 128), min(c, mp.width, 128)
+
+
+def window_fits(cam: CameraParams, mp: MapParams) -> bool:
+    """True iff the dense-fusion window covers the full sensor range: cells
+    beyond the 128-cell vreg cap (or the map edge-clamped window) would be
+    silently un-updated, diverging from the '2d' scatter backend."""
+    c = 2 * int(math.ceil(cam.max_range / mp.resolution)) + 8
+    # a map no larger than the vreg cap is fully covered by the window even
+    # when c > 128, so nothing can be dropped in that case either
+    return c <= 128 or (mp.height <= 128 and mp.width <= 128)
 
 
 def insert_depth_2d_dense(logodds: jnp.ndarray, depth: jnp.ndarray,
@@ -167,6 +179,11 @@ def insert_depth_2d_dense(logodds: jnp.ndarray, depth: jnp.ndarray,
                           interpret: bool = False) -> jnp.ndarray:
     """Kernel-fused projected-plane depth fusion; single-env signature,
     vmappable over envs (the kernel batches through custom_vmap collapse)."""
+    if not window_fits(cam, mp):
+        raise ValueError(
+            f"dense fusion window (128-cell cap) does not cover "
+            f"cam.max_range={cam.max_range} at resolution={mp.resolution}; "
+            f"use occupancy.insert_depth_2d (fusion='2d') for this config")
     return _flat_fuse(cam, mp, row_stride, interpret)(
         logodds[None], depth[None], pos[None], quat[None])[0]
 

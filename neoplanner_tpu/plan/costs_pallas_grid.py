@@ -409,7 +409,9 @@ def objective_fwd_grid(x: jnp.ndarray, head_state: jnp.ndarray,
     """Forward-only fused objective on an ESDF window (line-search values).
 
     win_esdf (Hw, Ww): distance-field crop from mapping/esdf.make_window;
-    win_origin (3,): [x0, y0, resolution] of the crop."""
+    win_origin (7,): [x0, y0, res, map_x0, map_y0, map_x1, map_y1] — the
+    crop origin/resolution plus full-map bounds for out-of-window clamping
+    (the second vector make_window returns)."""
     assert pp.sampling == "relative", "kernel implements relative sampling"
     fn = _flat_fwd(_static(pp), interpret)
     return fn(x[None], head_state[None], tail_state[None], win_esdf[None],

@@ -78,6 +78,10 @@ class EnvState:
     missions_done: jnp.ndarray  # int32 completed missions (random mode)
     missions_ok: jnp.ndarray    # int32 of those, reached the goal
     metric_ok_sum: jnp.ndarray  # () summed weighted metric of the ok missions
+    goal_list: jnp.ndarray   # (G, 2) predefined goal tour ('predefined'
+    #                          mission mode, manager_config.yaml:3; (1, 2)
+    #                          dummy otherwise)
+    goal_idx: jnp.ndarray    # int32 cursor: next tour entry to dispatch
     key: jnp.ndarray
 
 
@@ -116,11 +120,19 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
           pp: PlannerParams, mp: MissionParams, mapp: MapParams,
           start_pos: Optional[jnp.ndarray] = None,
           skip_takeoff: bool = True, sensing: str = "gt",
-          plan_map: str = "grid") -> EnvState:
+          plan_map: str = "grid",
+          goal_list: Optional[jnp.ndarray] = None) -> EnvState:
     """Build the map from the box world and initialize one env.
 
     goal=None selects 'random' goal sampling at reset (datagen mode); a concrete
     goal mirrors an RViz /move_base_simple/goal message (manager_node.py:122-137).
+
+    goal_list (G, 2) arms the 'predefined' mission tour
+    (manager_node.py:153-166, manager_config.yaml:2-3): the first tour entry
+    becomes the initial goal (the reference kicks the tour off with an
+    external RViz goal; the rebuild has no external trigger, so entry 0
+    plays that role) and step_segment(mission_mode='predefined') dispatches
+    the remaining entries as missions complete, then parks at PHASE_DONE.
 
     sensing='gt' bakes the ground-truth map at reset (the reference's global-map
     mode, sim_global.launch + publish_pointcloud.cpp); 'depth' starts the map
@@ -156,6 +168,14 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
     scene = scene_map.build(world, mapp)
     key, k_goal = jax.random.split(key)
     flap = jnp.zeros((), jnp.int32)
+    if goal_list is not None:
+        goal_list = jnp.asarray(goal_list, jnp.float32)
+        if goal is None:
+            goal = goal_list[0]
+        goal_idx = jnp.ones((), jnp.int32)
+    else:
+        goal_list = jnp.zeros((1, 2), jnp.float32)
+        goal_idx = jnp.zeros((), jnp.int32)
     if goal is None:
         # goals are vetted against the ground-truth scene in every sensing
         # mode (the benchmark harness knows the world even when the drone
@@ -192,7 +212,8 @@ def reset(key: jnp.ndarray, world: BoxWorld, goal: Optional[jnp.ndarray],
         plan_count=jnp.zeros((), jnp.int32), iter_sum=jnp.zeros((), jnp.int32),
         missions_done=jnp.zeros((), jnp.int32),
         missions_ok=jnp.zeros((), jnp.int32),
-        metric_ok_sum=jnp.zeros(()), key=key)
+        metric_ok_sum=jnp.zeros(()), goal_list=goal_list, goal_idx=goal_idx,
+        key=key)
 
 
 def _replan(state: EnvState, pp: PlannerParams, mp: MissionParams,
@@ -361,9 +382,17 @@ def fuse_frame(state: EnvState, mapp: MapParams, cam: CameraParams,
                                           row_stride=rs)
     if mapp.fusion == "2d_dense":
         from neoplanner_tpu.mapping import occupancy_pallas
-        logodds = occupancy_pallas.insert_depth_2d_dense(
-            state.logodds, depth, state.drone.pos, state.drone.quat, cam,
-            mapp, row_stride=rs, interpret=jax.default_backend() != "tpu")
+        if not occupancy_pallas.window_fits(cam, mapp):
+            # over-range config: the 128-cell dense window would silently
+            # drop far hits/carves — use the scatter backend (same result,
+            # slower) rather than diverge from '2d'
+            logodds = occupancy.insert_depth_2d(
+                state.logodds, depth, state.drone.pos, state.drone.quat,
+                cam, mapp, row_stride=rs)
+        else:
+            logodds = occupancy_pallas.insert_depth_2d_dense(
+                state.logodds, depth, state.drone.pos, state.drone.quat, cam,
+                mapp, row_stride=rs, interpret=jax.default_backend() != "tpu")
     elif mapp.fusion == "2d":
         logodds = occupancy.insert_depth_2d(state.logodds, depth,
                                             state.drone.pos,
@@ -451,6 +480,9 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
     mission_mode 'manual': stop at PHASE_DONE when reached/failed.
     mission_mode 'random': sample the next goal and continue (the data-collection
     driver, manager_node.py:160-166).
+    mission_mode 'predefined': dispatch the next entry of the goal tour armed
+    at reset (goal_list=...) when a mission completes, park at PHASE_DONE once
+    the tour is exhausted (manager_node.py:153-166, manager_config.yaml:2-3).
 
     replan_mode is the reference's execute_mission dispatch
     (traj_planner_node.py:233-245):
@@ -612,9 +644,40 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
             missions_ok=state.missions_ok + (done & mission_ok).astype(
                 jnp.int32),
             key=key)
-    else:
+    elif mission_mode == "predefined":
+        # advance the goal tour (manager_node.py:153-166): on completion the
+        # next list entry becomes the goal; when the cursor runs off the end
+        # the env parks at PHASE_DONE like the reference manager going idle
+        G = state.goal_list.shape[0]
+        wm = jnp.dot(metrics, jnp.array(METRIC_WEIGHTS))
+        mission_ok = reached & (wm <= 10.0 * pp.collision_cost_tol)
+        # once parked at PHASE_DONE the env keeps reporting done=True every
+        # segment — count a completion only the first time
+        counted = done & (state.phase != missions.PHASE_DONE)
+        have_next = state.goal_idx < G
+        advance = counted & have_next
+        next_goal = state.goal_list[jnp.minimum(state.goal_idx, G - 1)]
+        state = state.replace(
+            metric_ok_sum=state.metric_ok_sum
+            + jnp.where(counted & mission_ok, wm, 0.0),
+            goal=jnp.where(advance, next_goal, state.goal),
+            goal_idx=state.goal_idx + advance.astype(jnp.int32),
+            reached=jnp.where(advance, False, state.reached),
+            failed=jnp.where(advance, False, state.failed),
+            near_goal=jnp.where(advance, False, state.near_goal),
+            fail_count=jnp.where(advance, 0, state.fail_count),
+            steps=jnp.where(advance, 0, state.steps),
+            metrics=jnp.where(advance, 0.0, state.metrics),
+            missions_done=state.missions_done + counted.astype(jnp.int32),
+            missions_ok=state.missions_ok + (counted & mission_ok).astype(
+                jnp.int32),
+            phase=jnp.where(counted & ~have_next, missions.PHASE_DONE,
+                            state.phase))
+    elif mission_mode == "manual":
         state = state.replace(
             phase=jnp.where(done, missions.PHASE_DONE, state.phase))
+    else:
+        raise ValueError(f"unknown mission_mode: {mission_mode}")
     return state, info
 
 

@@ -114,8 +114,11 @@ def _make_track_kernel(spr, i0, n_prims, params, with_dis=True):
             adx, ady = c[4], c[5]
             pdz = jnp.full_like(pdx, des_pos_z)
 
-            speed = jnp.sqrt(vdx * vdx + vdy * vdy)
-            yaw_des = jnp.where(speed > 0.05, jnp.arctan2(vdy, vdx), yaw)
+            # rows 6/7 carry the desired yaw and its speed>0.05 validity,
+            # precomputed OUTSIDE the kernel from the commands (jax 0.9's
+            # Mosaic lowering has no atan2; the desired yaw depends only on
+            # the input setpoints, so hoisting it is exact)
+            yaw_des = jnp.where(c[7] > 0.5, c[6], yaw)
 
             acx = adx + kp_pos * (pdx - px) + kp_vel * (vdx - vx)
             acy = ady + kp_pos * (pdy - py) + kp_vel * (vdy - vy)
@@ -131,8 +134,12 @@ def _make_track_kernel(spr, i0, n_prims, params, with_dis=True):
             npy = py + nvy * dt
             npz = pz + nvz * dt
 
+            # wrap into [-pi, pi] without atan2 (no Mosaic lowering): the
+            # XLA scan's atan2(sin, cos) equals dy - 2pi*round(dy/2pi) to
+            # f32 roundoff for the |dy| < 2pi + lim range yaw can reach
             dy_ = yaw_des - yaw
-            dyaw = jnp.arctan2(jnp.sin(dy_), jnp.cos(dy_))
+            two_pi = 6.283185307179586
+            dyaw = dy_ - two_pi * jnp.round(dy_ / two_pi)
             lim = yaw_rate_max * dt
             nyaw = yaw + jnp.clip(dyaw, -lim, lim)
             nq = _quat_from_accel_yaw_rows(acx, acy, acz, nyaw, g)
@@ -199,9 +206,15 @@ def _track_batch(cmds, st, prims, spr, i0, params, interpret,
     N = st.shape[0]
     n_prims = prims.shape[1]
     np_ = N + ((-N) % _NB)
+    c6 = cmds.reshape(N, spr, 6)
+    # rows 6/7: desired yaw (atan2 has no Mosaic lowering — precompute from
+    # the commands, exactly as the XLA scan does) and its speed>0.05 flag
+    vdx, vdy = c6[..., 2], c6[..., 3]
+    speed = jnp.sqrt(vdx * vdx + vdy * vdy)
+    yd = jnp.arctan2(vdy, vdx)
+    hasd = jnp.where(speed > 0.05, 1.0, 0.0).astype(cmds.dtype)
     cmd8 = jnp.concatenate(
-        [cmds.reshape(N, spr, 6),
-         jnp.zeros((N, spr, 2), cmds.dtype)], axis=-1)     # pad rows to 8
+        [c6, yd[..., None].astype(cmds.dtype), hasd[..., None]], axis=-1)
     cmd_t = _pad_lanes(cmd8.reshape(N, spr * 8), np_).T.astype(jnp.float32)
     st_t = _pad_lanes(st, np_).T.astype(jnp.float32)
     prims_t = _pad_lanes(prims.reshape(N, n_prims * 6),

@@ -64,9 +64,12 @@ def _find_geometry(model: ET.Element):
     return []
 
 
-def parse_world(path: str, max_boxes: int = 64) -> BoxWorld:
+def parse_world(path: str, max_boxes: int | None = 64) -> BoxWorld:
     """Read a reference-format .world into a BoxWorld (axis-aligned footprint;
-    the reference's boxes carry negligible yaw from physics settling)."""
+    the reference's boxes carry negligible yaw from physics settling).
+
+    ``max_boxes=None`` sizes the capacity to the parsed primitive count
+    (rounded up to a multiple of 8), so large worlds never fail the cap."""
     tree = ET.parse(path)
     world = tree.getroot().find("world")
     if world is None:
@@ -96,12 +99,14 @@ def parse_world(path: str, max_boxes: int = 64) -> BoxWorld:
 
     names = [n for n in prims if n in poses]
     total = sum(len(prims[n]) for n in names)
+    if max_boxes is None:
+        max_boxes = max((total + 7) // 8 * 8, 8)
     if total > max_boxes:
         # silently dropping geometry would make collision scoring lie about the
         # world (round 2 lost forest.world's last trees this way) — fail loud
         raise ValueError(
             f"{path}: {total} primitives exceed max_boxes={max_boxes}; "
-            f"pass max_boxes>={total}")
+            f"pass max_boxes>={total} (or max_boxes=None to auto-size)")
     K = max_boxes
     centers = np.zeros((K, 3), dtype=np.float32)
     half = np.full((K, 3), 0.01, dtype=np.float32)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import MapParams, PlannerParams, WorldParams
@@ -10,6 +11,8 @@ from neoplanner_tpu.ops import minco
 from neoplanner_tpu.plan import costs as costs_mod
 from neoplanner_tpu.plan import costs_pallas, expert
 from neoplanner_tpu.world import scenegen
+
+pytestmark = pytest.mark.slow
 
 PP = PlannerParams(samples_per_piece=24)
 MAPP = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)

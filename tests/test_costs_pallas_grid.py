@@ -8,6 +8,7 @@ import dataclasses
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import MapParams, PlannerParams, WorldParams
@@ -17,6 +18,8 @@ from neoplanner_tpu.plan import costs as costs_mod
 from neoplanner_tpu.plan import costs_pallas_grid as cpg
 from neoplanner_tpu.plan import expert
 from neoplanner_tpu.world import scenegen, voxelize
+
+pytestmark = pytest.mark.slow
 
 PP = PlannerParams(samples_per_piece=24, esdf_interp="bilinear")
 MAPP = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)

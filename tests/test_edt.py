@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 from scipy import ndimage
 
@@ -51,6 +52,7 @@ def test_gradient_matches_np(rng):
     np.testing.assert_allclose(np.asarray(gx), gx_np / res, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_pass2_interpret(rng):
     """The TPU pass-2 kernel (interpret mode) matches the XLA implementation.
     On real TPU hardware the kernel is selected automatically by edt_sq_cells;
@@ -91,6 +93,7 @@ def test_truncated_empty_grid():
     assert np.all(got == np.float32(2.0))
 
 
+@pytest.mark.slow
 def test_pass2_banded_kernel_matches_xla():
     """Pallas banded min-plus (ops/edt_pallas.pass2_banded) vs the XLA form."""
     import jax
@@ -117,6 +120,7 @@ def test_pass2_banded_kernel_matches_xla():
     np.testing.assert_allclose(got_b, want_b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_truncated_rebuild(rng):
     """The single-program rebuild (binarize + banded EDT both axes + clamp +
     bf16, ops/edt_pallas.rebuild_truncated_lite) equals the XLA pass chain

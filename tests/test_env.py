@@ -10,6 +10,8 @@ from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
 from neoplanner_tpu.sim import env, missions
 from neoplanner_tpu.world import scenegen
 
+pytestmark = pytest.mark.slow
+
 PP = PlannerParams(max_iters=96)  # trimmed optimizer budget keeps CPU tests fast
 MP = MissionParams()
 SP = SimParams()
@@ -115,6 +117,31 @@ def test_random_mission_mode(world):
     for _ in range(40):
         state, _ = step(state, PP, MP, SP, "random")
     assert int(state.missions_done) >= 1
+
+
+def test_predefined_mission_mode(world):
+    """Predefined goal-tour mode (manager_node.py:153-166,
+    manager_config.yaml:2-3): reset arms the tour, missions dispatch the
+    entries in order, and the env parks at PHASE_DONE when the tour ends."""
+    tour = jnp.array([[6.0, 0.0], [10.0, 0.0], [5.0, -3.0]])
+    state = env.reset(jax.random.PRNGKey(6), world, None, PP, MP, MAPP,
+                      goal_list=tour)
+    # entry 0 plays the external kick-off goal
+    np.testing.assert_array_equal(np.asarray(state.goal), np.asarray(tour[0]))
+    assert int(state.goal_idx) == 1
+    step = jax.jit(env.step_segment, static_argnames=("pp", "mp", "sp",
+                                                      "mission_mode"))
+    for _ in range(60):
+        state, _ = step(state, PP, MP, SP, "predefined")
+        if int(state.phase) == missions.PHASE_DONE:
+            break
+    assert int(state.phase) == missions.PHASE_DONE
+    assert int(state.missions_done) == 3
+    assert int(state.missions_ok) == 3          # all three tour goals reachable
+    np.testing.assert_array_equal(np.asarray(state.goal), np.asarray(tour[-1]))
+    # parked: further segments must not recount the finished mission
+    state, _ = step(state, PP, MP, SP, "predefined")
+    assert int(state.missions_done) == 3
 
 
 def test_vision_sensor_rate_fusion_and_truncated_edt(world):

@@ -14,6 +14,8 @@ from neoplanner_tpu.mapping import esdf
 from neoplanner_tpu.ops import minco
 from neoplanner_tpu.plan import costs, expert
 
+pytestmark = pytest.mark.slow
+
 
 def make_world(blocking=True):
     """16 m corridor with a box blocking the straight start->goal line."""

@@ -16,6 +16,8 @@ from neoplanner_tpu.plan import expert, neo, nn_init
 from neoplanner_tpu.sim import env
 from neoplanner_tpu.world import scenegen
 
+pytestmark = pytest.mark.slow
+
 CAM = CameraParams(width=64, height=48)
 NETP = NetParams(img_width=64, img_height=48, backbone="smallconv")
 PP = PlannerParams(max_iters=64)

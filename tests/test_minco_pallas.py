@@ -2,9 +2,12 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from neoplanner_tpu.ops import minco, minco_pallas
+
+pytestmark = pytest.mark.slow
 
 
 def _random_system(key, n=18, d=2):

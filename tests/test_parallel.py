@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
@@ -9,6 +10,8 @@ from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
 from neoplanner_tpu.parallel import mesh as pmesh
 from neoplanner_tpu.sim import env
 from neoplanner_tpu.world import scenegen
+
+pytestmark = pytest.mark.slow
 
 PP = PlannerParams(max_iters=16, samples_per_piece=8, retry_num=1,
                    extra_lateral_scales=())

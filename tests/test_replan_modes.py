@@ -17,6 +17,8 @@ from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
 from neoplanner_tpu.sim import env
 from neoplanner_tpu.world import scenegen
 
+pytestmark = pytest.mark.slow
+
 # lean bank + trimmed budget: the dispatch logic under test is identical, and
 # each replan_mode is its own (expensive) CPU compile of step_segment
 PP = PlannerParams(max_iters=48, retry_num=2, extra_lateral_scales=())

@@ -14,6 +14,8 @@ from neoplanner_tpu.sense import raycast
 from neoplanner_tpu.sim import env
 from neoplanner_tpu.world import scenegen, voxelize
 
+pytestmark = pytest.mark.slow
+
 CAM = CameraParams(width=64, height=48)
 
 

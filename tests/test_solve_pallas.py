@@ -8,6 +8,7 @@ from functools import partial
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import MapParams, PlannerParams, WorldParams
@@ -16,6 +17,8 @@ from neoplanner_tpu.ops import lbfgs, minco
 from neoplanner_tpu.plan import costs as costs_mod
 from neoplanner_tpu.plan import costs_pallas, expert, solve_pallas
 from neoplanner_tpu.world import scenegen
+
+pytestmark = pytest.mark.slow
 
 MAPP = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
 

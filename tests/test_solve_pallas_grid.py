@@ -10,6 +10,7 @@ from functools import partial
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import MapParams, PlannerParams, WorldParams
@@ -19,6 +20,8 @@ from neoplanner_tpu.plan import costs as costs_mod
 from neoplanner_tpu.plan import costs_pallas_grid as cpg
 from neoplanner_tpu.plan import expert, solve_pallas_grid
 from neoplanner_tpu.world import scenegen, voxelize
+
+pytestmark = pytest.mark.slow
 
 MAPP = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
 

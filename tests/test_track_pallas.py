@@ -6,12 +6,15 @@ everything must match to f32 roundoff."""
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
                                    SimParams, WorldParams)
 from neoplanner_tpu.sim import env, missions, track_pallas
 from neoplanner_tpu.world import scenegen
+
+pytestmark = pytest.mark.slow
 
 MAPP = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
 PP = PlannerParams()

@@ -2,12 +2,15 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import (MapParams, MissionParams, PlannerParams,
                                    SimParams, WorldParams)
 from neoplanner_tpu.sim import env, tracker
 from neoplanner_tpu.world import scenegen
+
+pytestmark = pytest.mark.slow
 
 PP = PlannerParams(max_iters=64)
 MP = MissionParams()
