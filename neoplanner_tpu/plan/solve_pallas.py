@@ -12,10 +12,18 @@ dispatch is the solve itself.
 
 Semantics mirror ops/lbfgs.minimize exactly (masked fixed-iteration form):
 same Armijo-first/best-fallback step pick, curvature-guarded history,
-per-lane convergence freezing, NaN guards. A fixed fori_loop over max_iters
-replaces the while-all-lanes-done loop — identical results, since finished
-lanes freeze either way. Golden test: tests/test_solve_pallas.py pins the
-solved cost against the XLA solver on identical problems.
+per-lane convergence freezing, NaN guards. The iteration and line-search
+loops are while_loops with ALL-LANE early exit (round 4): the program stops
+iterating once every lane in the tile is converged/frozen, and the line
+search stops once every lane has an Armijo-accepted step — both exits are
+bit-exactness-preserving (a finished lane's state is frozen either way;
+an Armijo-ok lane's step is pinned at its FIRST success and later
+candidates only fed the unused best-fallback), so results are identical
+to the fixed-trip form while typical solves skip most of the max_iters *
+max_ls objective evaluations — the reference's sequential ladder stops
+early too (expert_planner.py:161-168), so this is parity of *work*.
+Golden test: tests/test_solve_pallas.py pins the solved cost against the
+XLA solver on identical problems.
 
 Enabled in plan/expert.solve_one by NEO_SOLVER=kernel. The sensed-grid
 analog (per-env VMEM window tiling instead of flat 512-lane tiles) is
@@ -66,8 +74,16 @@ def lbfgs_in_kernel(vg, fwd, x0, max_iters, history, max_ls, ftol, gtol, c1):
             out = out + sel * hist[slot]
         return out
 
-    def body(_, carry):
-        (x, f, g, s_hist, y_hist, rho, headi, count, it, done) = carry
+    def cond(carry):
+        # ALL-LANE early exit: done lanes are frozen by the masked updates
+        # below, so stopping once every lane is done is bit-exact vs the
+        # fixed max_iters trip count (itc is a scalar trip counter; the
+        # per-lane `it` freezes and reports each lane's own iterations)
+        itc, done = carry[0], carry[-1]
+        return (itc < max_iters) & (jnp.min(done) < 0.5)
+
+    def body(carry):
+        (itc, x, f, g, s_hist, y_hist, rho, headi, count, it, done) = carry
 
         # ---- two-loop recursion (ops/lbfgs._two_loop)
         q = g
@@ -112,12 +128,20 @@ def lbfgs_in_kernel(vg, fwd, x0, max_iters, history, max_ls, ftol, gtol, c1):
                        1.0)
 
         # ---- backtracking line search (same candidate schedule as
-        # ops/lbfgs.minimize: t0 * 0.5^k) as a nested fori_loop — one
+        # ops/lbfgs.minimize: t0 * 0.5^k) as a nested while_loop — one
         # objective trace in the compiled body instead of max_ls inlined
-        # copies. All carried masks are f32 (see NOTE above); the step
-        # halves each trip instead of exp2(-k) of the loop index.
-        def ls_body(k, ls_carry):
-            ls_ok, t_cur, t_first, f_first, f_best, t_best = ls_carry
+        # copies, and an ALL-LANE early exit: once every lane has an
+        # Armijo-accepted step the remaining candidates can only change the
+        # best-fallback fields, which accepted lanes never read — so exiting
+        # is bit-exact and typical iterations pay 1-2 forwards, not max_ls.
+        # All carried masks are f32 (see NOTE above); the step halves each
+        # trip instead of exp2(-k) of the loop index.
+        def ls_cond(ls_carry):
+            k, ls_ok = ls_carry[0], ls_carry[1]
+            return (k < max_ls) & (jnp.min(ls_ok) < 0.5)
+
+        def ls_body(ls_carry):
+            k, ls_ok, t_cur, t_first, f_first, f_best, t_best = ls_carry
             f_k = fwd(x + t_cur * d)
             ok_k = jnp.where(f_k <= f + c1 * t_cur * gtd, 1.0, 0.0)
             newly = ok_k * (1.0 - ls_ok) > 0.5
@@ -125,16 +149,16 @@ def lbfgs_in_kernel(vg, fwd, x0, max_iters, history, max_ls, ftol, gtol, c1):
             f_first = jnp.where(newly, f_k, f_first)
             safe = jnp.where(jnp.isnan(f_k), jnp.inf, f_k)
             better = safe < f_best
-            return (jnp.maximum(ls_ok, ok_k), t_cur * 0.5,
+            return (k + 1, jnp.maximum(ls_ok, ok_k), t_cur * 0.5,
                     t_first, f_first,
                     jnp.where(better, safe, f_best),
                     jnp.where(better, t_cur, t_best))
 
-        ls_ok, _, t_first, f_first, f_best, t_best = jax.lax.fori_loop(
-            0, max_ls, ls_body,
-            (jnp.zeros_like(t0), t0, jnp.zeros_like(t0),
-             jnp.zeros_like(f), jnp.full_like(f, jnp.inf),
-             jnp.zeros_like(t0)))
+        _, ls_ok, _, t_first, f_first, f_best, t_best = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.zeros((), jnp.int32), jnp.zeros_like(t0), t0,
+             jnp.zeros_like(t0), jnp.zeros_like(f),
+             jnp.full_like(f, jnp.inf), jnp.zeros_like(t0)))
         ok_b = ls_ok > 0.5
         t_sel = jnp.where(ok_b, t_first, t_best)
         f_try = jnp.where(ok_b, f_first, f_best)
@@ -173,20 +197,20 @@ def lbfgs_in_kernel(vg, fwd, x0, max_iters, history, max_ls, ftol, gtol, c1):
         def keep(old, new):
             return jnp.where(frz, old, new)
 
-        return (keep(x, x_new), keep(f, f_new), keep(g, g_new),
+        return (itc + 1, keep(x, x_new), keep(f, f_new), keep(g, g_new),
                 s_hist, y_hist, rho,
                 keep(headi, headi2), keep(count, count2),
                 jnp.where(frz, it, it + 1),
                 jnp.maximum(done, jnp.where(done_new, 1.0, 0.0)))
 
-    init = (x0, f0, g0,
+    init = (jnp.zeros((), jnp.int32), x0, f0, g0,
             tuple(jnp.zeros_like(x0) for _ in range(m)),
             tuple(jnp.zeros_like(x0) for _ in range(m)),
             tuple(jnp.zeros_like(f0) for _ in range(m)),
             jnp.zeros((NB,), jnp.int32), jnp.zeros((NB,), jnp.int32),
             jnp.zeros((NB,), jnp.int32), done0)
-    out = jax.lax.fori_loop(0, max_iters, body, init)
-    return out[0], out[1], out[8]
+    out = jax.lax.while_loop(cond, body, init)
+    return out[1], out[2], out[9]
 
 
 def _make_solver_kernel(statics, n_prims, max_iters, history, max_ls,
