@@ -4,12 +4,15 @@ TPU-native replacement for the reference's BuildOctomapPlugin ray rasterizer
 (/root/reference/src/sim_gazebo_plugins/src/plugin_build_octomap.cpp:255-363) and the
 octomap_server 2-D projection (map_server_onboard.launch:30-32): since the scene is
 an array of primitives (axis-aligned boxes + vertical cylinders), rasterization is
-an exact analytic point-membership test over cell centers — no rays, no flood fill,
-one fused elementwise pass on the VPU.
+an exact analytic point-membership test over cell centers — no rays, one fused
+elementwise pass on the VPU. fill_unknown_3d reproduces the plugin's
+unknown-space pass (flood-fill free, unreached voxels become occupied) for
+scenes with enclosed cavities.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from neoplanner_tpu.config import MapParams
@@ -58,6 +61,57 @@ def occupancy_3d(world: BoxWorld, mp: MapParams, z_cells: int,
     hit = (in_z[:, :, None, None] & fp[:, None, :, :]
            & world.active[:, None, None, None])
     return jnp.any(hit, axis=0).astype(jnp.float32)
+
+
+def fill_unknown_3d(occ: jnp.ndarray,
+                    seeds: tuple = None) -> jnp.ndarray:
+    """Reference octomap unknown-space semantics for a (Z, H, W) volume:
+    flood-fill free space 6-connected from seed voxels, then mark every
+    voxel the fill never reached as occupied
+    (plugin_build_octomap.cpp:317-357 — FloodFill from the two z-extreme
+    seeds at the bounding-box center column, then "set unknown to filled").
+
+    The analytic rasterizer (occupancy_3d) is exact for primitive scenes, so
+    this only changes the result when the scene encloses cavities (e.g. the
+    hollow interior of a mesh-walled room): the reference marks those
+    occupied, and with this pass so do we. Implemented as an XLA fixpoint
+    dilation (one 6-neighbor max per step, lax.while_loop until no change)
+    — an offline map-building utility, not a hot path.
+    """
+    occ_b = occ > 0.5
+    Z, H, W = occ_b.shape
+    if seeds is None:
+        # the reference seeds: bounding-box center column (origin + leaf/2),
+        # top and bottom z layers
+        seeds = ((Z - 1, H // 2, W // 2), (0, H // 2, W // 2))
+    free0 = jnp.zeros_like(occ_b)
+    for z, r, c in seeds:
+        free0 = free0.at[z, r, c].set(True)
+    free0 = free0 & ~occ_b
+
+    def dilate(free):
+        grown = free
+        for axis in range(3):
+            lo = jnp.pad(free, [(1, 0) if a == axis else (0, 0)
+                                for a in range(3)])
+            hi = jnp.pad(free, [(0, 1) if a == axis else (0, 0)
+                                for a in range(3)])
+            take = [slice(0, s) for s in free.shape]
+            drop = [slice(1, None) if a == axis else slice(None)
+                    for a in range(3)]
+            grown = grown | lo[tuple(take)] | hi[tuple(drop)]
+        return grown & ~occ_b
+
+    def cond(carry):
+        return carry[1]
+
+    def body(carry):
+        free, _ = carry
+        nxt = dilate(free)
+        return nxt, jnp.any(nxt != free)
+
+    free, _ = jax.lax.while_loop(cond, body, (free0, jnp.any(free0)))
+    return (occ_b | ~free).astype(jnp.float32)
 
 
 def sdf(world: BoxWorld, points: jnp.ndarray) -> jnp.ndarray:

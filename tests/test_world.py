@@ -92,3 +92,26 @@ def test_parse_reference_world():
     h = np.asarray(world.half_sizes)[a]
     assert np.all(c[:, 0] > -5) and np.all(c[:, 0] < 35)
     assert np.all(h > 0)
+
+
+def test_fill_unknown_3d_cavity():
+    """The octomap plugin's unknown-space pass: an enclosed cavity (never
+    reached by the free-space flood fill) becomes occupied; outside space
+    stays free (plugin_build_octomap.cpp:317-357 semantics)."""
+    from neoplanner_tpu.world import voxelize
+
+    occ = np.zeros((8, 16, 16), np.float32)
+    # hollow shell: walls at the faces of a 6x6x6 box, empty interior
+    occ[2:7, 4:10, 4:10] = 1.0
+    occ[3:6, 5:9, 5:9] = 0.0
+    filled = np.asarray(voxelize.fill_unknown_3d(jnp.asarray(occ)))
+    assert filled[4, 6, 6] == 1.0          # cavity voxel now occupied
+    assert filled[4, 12, 12] == 0.0        # outside stays free
+    assert filled[0, 0, 0] == 0.0          # seed corner column free
+    # shell itself still occupied
+    assert filled[2, 6, 6] == 1.0
+    # without a cavity the pass is the identity
+    solid = np.zeros((4, 8, 8), np.float32)
+    solid[1:3, 2:5, 2:5] = 1.0
+    np.testing.assert_array_equal(
+        np.asarray(voxelize.fill_unknown_3d(jnp.asarray(solid))), solid)
