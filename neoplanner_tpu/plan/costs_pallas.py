@@ -43,6 +43,12 @@ import os as _os
 
 _NB = int(_os.environ.get("NEO_KERNEL_NB", "512"))  # lanes per program tile
 _FAR = 1e4
+# NEO_SCENE_PRECISION=bf16 runs the scene-SDF min loop (the S x n_prims hot
+# loop, ~95% of the objective kernels' VPU work) in bfloat16 — the round-4
+# A/B protocol mirroring NEO_K2_PRECISION (BASELINE.md round-3 factor 5).
+# Distance error is ~0.4% relative (bf16 8-bit mantissa), outputs are cast
+# back to f32 before the hinge; golden tests pin the default f32 path.
+_SCENE_PREC = _os.environ.get("NEO_SCENE_PRECISION", "f32")
 
 # 3-point Gauss-Legendre on [0, 1] (ops/minco.energy)
 _GL_NODES = (0.5 - math.sqrt(3.0 / 5.0) / 2.0, 0.5,
@@ -139,17 +145,30 @@ def _solve_entries(A, rhs, n, D, lower_bw, fill, zero):
     return xs
 
 
-def _scene_min_dist(prims_ref, n_prims, px, py, with_grad):
+def _scene_min_dist(prims_ref, n_prims, px, py, with_grad, lowp=None):
     """Min footprint SDF over prims at (S, NB) points; optionally its spatial
-    gradient at the argmin primitive (mapping/scene.sample semantics)."""
+    gradient at the argmin primitive (mapping/scene.sample semantics).
+
+    Under NEO_SCENE_PRECISION=bf16 the whole min loop runs in bfloat16
+    (points, prim parameters, distance/gradient math); dis/gx/gy are cast
+    back to f32 at return. The penalty hinge, weights, and the rest of the
+    objective stay f32. Callers needing exactness regardless of the env
+    (the tracker's closed-loop metric, sim/track_pallas.py) pass
+    lowp=False."""
+    if lowp is None:
+        lowp = _SCENE_PREC == "bf16"
+    cdt = jnp.bfloat16 if lowp else px.dtype
+    if lowp:
+        px = px.astype(cdt)
+        py = py.astype(cdt)
     dis = jnp.full_like(px, _FAR)
     gx = jnp.zeros_like(px) if with_grad else None
     gy = jnp.zeros_like(px) if with_grad else None
     for kprim in range(n_prims):
-        cx = prims_ref[kprim * 6 + 0][None, :]
-        cy = prims_ref[kprim * 6 + 1][None, :]
-        hx = prims_ref[kprim * 6 + 2][None, :]
-        hy = prims_ref[kprim * 6 + 3][None, :]
+        cx = prims_ref[kprim * 6 + 0][None, :].astype(cdt)
+        cy = prims_ref[kprim * 6 + 1][None, :].astype(cdt)
+        hx = prims_ref[kprim * 6 + 2][None, :].astype(cdt)
+        hy = prims_ref[kprim * 6 + 3][None, :].astype(cdt)
         is_cyl = prims_ref[kprim * 6 + 4][None, :] > 0.5
         active = prims_ref[kprim * 6 + 5][None, :] > 0.5
         dx = px - cx
@@ -181,6 +200,11 @@ def _scene_min_dist(prims_ref, n_prims, px, py, with_grad):
             gx = jnp.where(better, gxk, gx)
             gy = jnp.where(better, gyk, gy)
         dis = jnp.where(better, dk, dis)
+    if lowp:
+        dis = dis.astype(jnp.float32)
+        if with_grad:
+            gx = gx.astype(jnp.float32)
+            gy = gy.astype(jnp.float32)
     if with_grad:
         return dis, gx, gy
     return dis

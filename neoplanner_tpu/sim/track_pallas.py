@@ -101,7 +101,13 @@ def _make_track_kernel(spr, i0, n_prims, params, with_dis=True):
      v_max, safe_dis, reach_thr) = params
 
     def kernel(cmd_ref, st_ref, prims_ref, out_ref, trace_ref):
-        st = st_ref[...]
+        # Read state ROWS straight off the ref — never materialize the
+        # (22, NB) value and slice rows out of it. Carries initialized
+        # from 1-D slices of a materialized rank-2 value crash the Mosaic
+        # layout pass (layout.h arr.size() >= layout_rank, bisected round
+        # 4, /tmp/ablate3.py bigA-vs-bigB); direct ref row reads lower
+        # cleanly.
+        st = st_ref
 
         def body(t, carry):
             (px, py, pz, vx, vy, vz, yaw, qw, qx, qy, qz,
@@ -136,15 +142,23 @@ def _make_track_kernel(spr, i0, n_prims, params, with_dis=True):
 
             # wrap into [-pi, pi] without atan2 (no Mosaic lowering): the
             # XLA scan's atan2(sin, cos) equals dy - 2pi*round(dy/2pi) to
-            # f32 roundoff for the |dy| < 2pi + lim range yaw can reach
+            # f32 roundoff for the |dy| < 2pi + lim range yaw can reach.
+            # round is floor(x+0.5) — jnp.round's round_p has no working
+            # Mosaic lowering on 1-D vectors (layout.h check failure,
+            # bisected round 4); ties differ only at measure-zero points
+            # the clip below absorbs.
             dy_ = yaw_des - yaw
             two_pi = 6.283185307179586
-            dyaw = dy_ - two_pi * jnp.round(dy_ / two_pi)
+            dyaw = dy_ - two_pi * jnp.floor(dy_ / two_pi + 0.5)
             lim = yaw_rate_max * dt
             nyaw = yaw + jnp.clip(dyaw, -lim, lim)
             nq = _quat_from_accel_yaw_rows(acx, acy, acz, nyaw, g)
 
-            frz = (reached > 0.5) | (moving < 0.5)
+            # f32-mask max, NOT (reached > 0.5) | (moving < 0.5): `|` of
+            # 1-D mask vectors with a loop-invariant operand crashes the
+            # Mosaic layout pass (layout.h arr.size() >= layout_rank check;
+            # bisected round 4, /tmp/ablate3.py — `&` is unaffected)
+            frz = jnp.maximum(reached, 1.0 - moving) > 0.5
 
             def keep(old, new):
                 return jnp.where(frz, old, new)
@@ -167,8 +181,10 @@ def _make_track_kernel(spr, i0, n_prims, params, with_dis=True):
             vviol = jnp.maximum(vx * vx + vy * vy - v_max * v_max, 0.0)
             tickf = jnp.where(tick, 1.0, 0.0)
             if with_dis:
+                # lowp=False: the closed-loop metric stays f32-exact even
+                # when NEO_SCENE_PRECISION=bf16 relaxes the *planner* SDF
                 dis = _scene_min_dist(prims_ref, n_prims, px[None, :],
-                                      py[None, :], False)[0]
+                                      py[None, :], False, lowp=False)[0]
                 dviol = jnp.maximum(safe_dis - jnp.maximum(dis, 0.0), 0.0)
                 m2 = m2 + tickf * dviol * dviol * dviol
             m0 = m0 + tickf * d_dist
