@@ -71,15 +71,20 @@ def main():
     print(f"B={B} fuse={fuse} row_stride={rs} "
           f"backend={jax.default_backend()}", flush=True)
 
-    # the actual segment (fuse chunking included)
+    # the actual segment (fuse chunking included). The FULL state must be the
+    # jit output: the des-state buffer is planned one segment ahead (this
+    # segment tracks the OLD buffer), so returning only drone.pos from inside
+    # the jit lets XLA dead-code-eliminate the whole replan + fusion chain —
+    # round 4 measured a fake 138 ms "segment" that way (honest: ~870 ms).
+    # Indexing .drone.pos OUTSIDE the jit keeps every leaf materialized.
     @jax.jit
     def seg(s, _f=fuse):
         return jax.vmap(lambda x: env.step_segment(
             x, pp, mp, sp, mission_mode="random", sensing="depth", mapp=mapp,
             cam=cam, planner="neo", net_vars=net_vars, np_cfg=np_cfg,
-            plan_map="grid", fuse_frames=_f)[0].drone.pos)(s)
+            plan_map="grid", fuse_frames=_f)[0])(s)
 
-    dt = timeit(seg, states)
+    dt = timeit(lambda s: seg(s).drone.pos, states)
     print(f"segment fuse={fuse}: {dt*1e3:.1f} ms "
           f"-> {B*spr/dt/1e3:.1f}k steps/s", flush=True)
 
@@ -88,9 +93,9 @@ def main():
         return jax.vmap(lambda x: env.step_segment(
             x, pp, mp, sp, mission_mode="random", sensing="depth", mapp=mapp,
             cam=cam, planner="neo", net_vars=net_vars, np_cfg=np_cfg,
-            plan_map="grid", fuse_frames=1)[0].drone.pos)(s)
+            plan_map="grid", fuse_frames=1)[0])(s)
 
-    dt = timeit(seg1, states)
+    dt = timeit(lambda s: seg1(s).drone.pos, states)
     print(f"segment fuse=1: {dt*1e3:.1f} ms", flush=True)
 
     # one interleaved fusion frame = strided render + dense polar fuse
