@@ -21,6 +21,10 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# the XLA autodiff reference must not itself run f32 matmuls as bf16 MXU
+# passes (the TPU default), or the "kernel error" it reports is mostly the
+# reference's own roundoff
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -72,8 +76,10 @@ def main():
 
     want_f, want_g, got_f, got_f2, got_g = map(
         np.asarray, (want_f, want_g, got_f, got_f2, got_g))
-    rel_f = np.abs(got_f - want_f) / np.maximum(np.abs(want_f), 1e-6)
-    rel_f2 = np.abs(got_f2 - want_f) / np.maximum(np.abs(want_f), 1e-6)
+    # scaled error (the golden tests' rtol+atol semantics): tiny objectives
+    # otherwise inflate a 1e-4 absolute delta into a huge "relative" error
+    rel_f = np.abs(got_f - want_f) / np.maximum(np.abs(want_f), 1.0)
+    rel_f2 = np.abs(got_f2 - want_f) / np.maximum(np.abs(want_f), 1.0)
     gscale = np.maximum(np.abs(want_g).max(axis=1, keepdims=True), 1e-6)
     rel_g = (np.abs(got_g - want_g) / gscale)
     print(f"prec={prec} backend={jax.default_backend()}")

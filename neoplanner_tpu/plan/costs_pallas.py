@@ -149,18 +149,21 @@ def _scene_min_dist(prims_ref, n_prims, px, py, with_grad, lowp=None):
     """Min footprint SDF over prims at (S, NB) points; optionally its spatial
     gradient at the argmin primitive (mapping/scene.sample semantics).
 
-    Under NEO_SCENE_PRECISION=bf16 the whole min loop runs in bfloat16
-    (points, prim parameters, distance/gradient math); dis/gx/gy are cast
-    back to f32 at return. The penalty hinge, weights, and the rest of the
-    objective stay f32. Callers needing exactness regardless of the env
-    (the tracker's closed-loop metric, sim/track_pallas.py) pass
-    lowp=False."""
+    Under NEO_SCENE_PRECISION=bf16 the per-prim distance arithmetic (the
+    abs/sub/mul/sqrt chain, ~2x VPU lanes at half width) runs in bfloat16;
+    every comparison, the running min/argmin accumulators, and the gradient
+    branch stay f32 — Mosaic on v5e rejects vector bf16 `cmpf` ("Target does
+    not support this comparison", and jnp.sign lowers through cmpf too), so
+    bf16 values are widened back to f32 right before any compare. The
+    penalty hinge, weights, and the rest of the objective stay f32. Callers
+    needing exactness regardless of the env (the tracker's closed-loop
+    metric, sim/track_pallas.py) pass lowp=False."""
     if lowp is None:
         lowp = _SCENE_PREC == "bf16"
     cdt = jnp.bfloat16 if lowp else px.dtype
-    if lowp:
-        px = px.astype(cdt)
-        py = py.astype(cdt)
+    f32 = jnp.float32
+    pxl = px.astype(cdt)
+    pyl = py.astype(cdt)
     dis = jnp.full_like(px, _FAR)
     gx = jnp.zeros_like(px) if with_grad else None
     gy = jnp.zeros_like(px) if with_grad else None
@@ -171,40 +174,38 @@ def _scene_min_dist(prims_ref, n_prims, px, py, with_grad, lowp=None):
         hy = prims_ref[kprim * 6 + 3][None, :].astype(cdt)
         is_cyl = prims_ref[kprim * 6 + 4][None, :] > 0.5
         active = prims_ref[kprim * 6 + 5][None, :] > 0.5
-        dx = px - cx
-        dy = py - cy
+        dx = pxl - cx
+        dy = pyl - cy
         qx = jnp.abs(dx) - hx
         qy = jnp.abs(dy) - hy
-        qxp = jnp.maximum(qx, 0.0)
-        qyp = jnp.maximum(qy, 0.0)
-        nrm = jnp.sqrt(qxp * qxp + qyp * qyp)
-        d_box = nrm + jnp.minimum(jnp.maximum(qx, qy), 0.0)
-        r = jnp.sqrt(dx * dx + dy * dy)
-        d_cyl = r - hx
+        qxp = jnp.maximum(qx, jnp.zeros_like(qx))
+        qyp = jnp.maximum(qy, jnp.zeros_like(qy))
+        nrm = jnp.sqrt(qxp * qxp + qyp * qyp).astype(f32)
+        d_box = nrm + jnp.minimum(
+            jnp.maximum(qx, qy).astype(f32), 0.0)
+        r = jnp.sqrt(dx * dx + dy * dy).astype(f32)
+        d_cyl = r - hx.astype(f32)
         dk = jnp.where(is_cyl, d_cyl, d_box)
         dk = jnp.where(active, dk, _FAR)
         better = dk < dis
         if with_grad:
+            dxf = dx.astype(f32)
+            dyf = dy.astype(f32)
             inv_n = 1.0 / jnp.maximum(nrm, 1e-9)
-            gbx = jnp.sign(dx) * qxp * inv_n
-            gby = jnp.sign(dy) * qyp * inv_n
-            ax = (qy > qx)
-            gix = jnp.where(ax, 0.0, jnp.sign(dx))
-            giy = jnp.where(ax, jnp.sign(dy), 0.0)
+            gbx = jnp.sign(dxf) * qxp.astype(f32) * inv_n
+            gby = jnp.sign(dyf) * qyp.astype(f32) * inv_n
+            ax = (qy - qx).astype(f32) > 0.0
+            gix = jnp.where(ax, 0.0, jnp.sign(dxf))
+            giy = jnp.where(ax, jnp.sign(dyf), 0.0)
             outside = nrm > 1e-9
             gx_box = jnp.where(outside, gbx, gix)
             gy_box = jnp.where(outside, gby, giy)
             inv_r = 1.0 / jnp.maximum(r, 1e-9)
-            gxk = jnp.where(is_cyl, dx * inv_r, gx_box)
-            gyk = jnp.where(is_cyl, dy * inv_r, gy_box)
+            gxk = jnp.where(is_cyl, dxf * inv_r, gx_box)
+            gyk = jnp.where(is_cyl, dyf * inv_r, gy_box)
             gx = jnp.where(better, gxk, gx)
             gy = jnp.where(better, gyk, gy)
         dis = jnp.where(better, dk, dis)
-    if lowp:
-        dis = dis.astype(jnp.float32)
-        if with_grad:
-            gx = gx.astype(jnp.float32)
-            gy = gy.astype(jnp.float32)
     if with_grad:
         return dis, gx, gy
     return dis

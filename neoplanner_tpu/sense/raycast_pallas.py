@@ -46,7 +46,17 @@ def _ray_tile(hw: int) -> int:
 
 
 def _make_kernel(K: int):
-    def kernel(dirs_ref, org_ref, prims_ref, out_ref):
+    """Trace one ray tile against the env's prim table.
+
+    The table arrives sorted boxes-first, cylinders, inactive (host-side
+    stable argsort) with per-env counts in SMEM, so the per-prim loops have
+    *dynamic* trip counts: each ray pays exactly n_box slab tests plus n_cyl
+    quadratic tests instead of K x (slab + quadratic + active mask). With
+    the default worlds (all boxes, num_boxes < max_boxes) that is ~4x less
+    VPU work than the dense static loop this replaces."""
+    del K  # capacity lives in the ref shape; trip counts are data
+
+    def kernel(cnt_ref, prims_ref, dirs_ref, org_ref, out_ref):
         dx = dirs_ref[0, 0]
         dy = dirs_ref[0, 1]
         dz = dirs_ref[0, 2]
@@ -60,18 +70,17 @@ def _make_kernel(K: int):
         invx = safe_inv(dx)
         invy = safe_inv(dy)
         invz = safe_inv(dz)
+        n_box = cnt_ref[0, 0, 0]
+        n_act = cnt_ref[0, 0, 1]
 
-        t = jnp.full_like(dx, _INF)
-        for k in range(K):
-            cx = prims_ref[0, 0, k * 8 + 0]
-            cy = prims_ref[0, 0, k * 8 + 1]
-            cz = prims_ref[0, 0, k * 8 + 2]
-            hx = prims_ref[0, 0, k * 8 + 3]
-            hy = prims_ref[0, 0, k * 8 + 4]
-            hz = prims_ref[0, 0, k * 8 + 5]
-            is_cyl = prims_ref[0, 0, k * 8 + 6]
-            active = prims_ref[0, 0, k * 8 + 7]
-
+        def body_box(k, t):
+            base = k * 8
+            cx = prims_ref[0, 0, base + 0]
+            cy = prims_ref[0, 0, base + 1]
+            cz = prims_ref[0, 0, base + 2]
+            hx = prims_ref[0, 0, base + 3]
+            hy = prims_ref[0, 0, base + 4]
+            hz = prims_ref[0, 0, base + 5]
             # slab test (raycast._ray_box)
             lox = (cx - hx - ox) * invx
             hix = (cx + hx - ox) * invx
@@ -86,8 +95,15 @@ def _make_kernel(K: int):
                                            jnp.maximum(loy, hiy)),
                                jnp.maximum(loz, hiz))
             hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin > 0)
-            t_box = jnp.where(hit_box, tmin, _INF)
+            return jnp.minimum(t, jnp.where(hit_box, tmin, _INF))
 
+        def body_cyl(k, t):
+            base = k * 8
+            cx = prims_ref[0, 0, base + 0]
+            cy = prims_ref[0, 0, base + 1]
+            cz = prims_ref[0, 0, base + 2]
+            hx = prims_ref[0, 0, base + 3]
+            hz = prims_ref[0, 0, base + 5]
             # vertical capped cylinder (raycast._ray_cylinder)
             rox = ox - cx
             roy = oy - cy
@@ -108,9 +124,11 @@ def _make_kernel(K: int):
                 yc = roy + t_cap * dy
                 cap_ok = (t_cap > 0) & (xc * xc + yc * yc <= hx * hx)
                 t_cyl = jnp.minimum(t_cyl, jnp.where(cap_ok, t_cap, _INF))
+            return jnp.minimum(t, t_cyl)
 
-            t_k = jnp.where(is_cyl > 0.5, t_cyl, t_box)
-            t = jnp.minimum(t, jnp.where(active > 0.5, t_k, _INF))
+        t = jnp.full_like(dx, _INF)
+        t = jax.lax.fori_loop(0, n_box, body_box, t)
+        t = jax.lax.fori_loop(n_box, n_act, body_cyl, t)
 
         # ground plane (raycast._trace_rays)
         t_ground = jnp.where(dz < -1e-6,
@@ -120,20 +138,32 @@ def _make_kernel(K: int):
     return kernel
 
 
-def _pack_prims(world: BoxWorld) -> jnp.ndarray:
-    """Batched BoxWorld -> (E, K*8) scalar table."""
-    return jnp.concatenate(
+def _pack_prims(world: BoxWorld):
+    """Batched BoxWorld -> sorted (E, K*8) scalar table + (E, 2) int32
+    [n_box, n_active] counts.
+
+    Rows are stably sorted active-boxes / active-cylinders / inactive so the
+    kernel's dynamic-trip-count loops visit exactly the live prims of each
+    shape (the inactive tail is never read)."""
+    is_cyl = (world.shape == SHAPE_CYLINDER)
+    key = jnp.where(world.active, is_cyl.astype(jnp.int32), 2)      # (E, K)
+    order = jnp.argsort(key, axis=-1, stable=True)
+    prims = jnp.concatenate(
         [world.centers, world.half_sizes,
-         (world.shape == SHAPE_CYLINDER)[..., None].astype(jnp.float32),
-         world.active[..., None].astype(jnp.float32)],
-        axis=-1).reshape(world.centers.shape[0], -1)
+         is_cyl[..., None].astype(jnp.float32),
+         world.active[..., None].astype(jnp.float32)], axis=-1)     # (E,K,8)
+    prims = jnp.take_along_axis(prims, order[..., None], axis=1)
+    counts = jnp.stack([(key == 0).sum(-1), (key <= 1).sum(-1)],
+                       axis=-1).astype(jnp.int32)                   # (E, 2)
+    return prims.reshape(prims.shape[0], -1), counts
 
 
 def _trace_batch(dirs: jnp.ndarray, org: jnp.ndarray, prims: jnp.ndarray,
-                 interpret: bool) -> jnp.ndarray:
+                 counts: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     """dirs (E, 3, R) world-frame rays (kernel layout — built this way so the
     ~1 GB direction tensor at B=4096 is materialized exactly once), org
-    (E, 3), prims (E, K*8) -> t (E, R) nearest-hit ray lengths."""
+    (E, 3), prims (E, K*8) sorted + counts (E, 2) -> t (E, R) nearest-hit
+    ray lengths."""
     E, _, R = dirs.shape
     K = prims.shape[1] // 8
     tile = _ray_tile(R)
@@ -146,14 +176,18 @@ def _trace_batch(dirs: jnp.ndarray, org: jnp.ndarray, prims: jnp.ndarray,
         _make_kernel(K),
         grid=(E, n_tiles),
         in_specs=[
+            # SMEM blocks: the last two dims must be (x8, x128) or equal to
+            # the array dims — a unit middle axis makes them shape-equal
+            pl.BlockSpec((1, 1, 2), lambda e, i: (e, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, prims.shape[1]), lambda e, i: (e, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, tile), lambda e, i: (e, 0, i),
                          memory_space=pltpu.VMEM),
             # Mosaic constrains the last two block dims to (x8, x128) or
-            # shape-equal: give the small per-env tables a leading env axis
-            # so their trailing dims match the array exactly
+            # shape-equal: give the small per-env table a leading env axis
+            # so its trailing dims match the array exactly
             pl.BlockSpec((1, 1, 3), lambda e, i: (e, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, prims.shape[1]), lambda e, i: (e, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, tile), lambda e, i: (e, 0, i),
@@ -164,8 +198,8 @@ def _trace_batch(dirs: jnp.ndarray, org: jnp.ndarray, prims: jnp.ndarray,
                                       bytes_accessed=E * rp * 16
                                       + E * prims.shape[1] * 4,
                                       transcendentals=E * rp * K),
-    )(dirs, org.astype(jnp.float32)[:, None, :],
-      prims.astype(jnp.float32)[:, None, :])
+    )(counts[:, None, :], prims.astype(jnp.float32)[:, None, :], dirs,
+      org.astype(jnp.float32)[:, None, :])
     return out[:, 0, :R]
 
 
@@ -177,7 +211,8 @@ def _render_flat(world_leaves, pos, quat, cam: CameraParams, row_stride: int,
     dirs_body = raycast.ray_dirs_camera(cam, row_stride).reshape(-1, 3)
     rot = jax.vmap(frames.quat_to_matrix)(quat)                 # (E, 3, 3)
     dirs = jnp.einsum("eij,rj->eir", rot, dirs_body)            # (E, 3, R)
-    t = _trace_batch(dirs, pos, _pack_prims(world), interpret)  # (E, R)
+    prims, counts = _pack_prims(world)
+    t = _trace_batch(dirs, pos, prims, counts, interpret)       # (E, R)
 
     # z-depth = range along body x, Gazebo-style (raycast.render_depth)
     x_body = rot[:, :, 0]                                       # (E, 3)

@@ -1,5 +1,7 @@
 """Fused forward objective kernel vs plan/costs.objective (interpret mode)."""
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -12,7 +14,15 @@ from neoplanner_tpu.plan import costs as costs_mod
 from neoplanner_tpu.plan import costs_pallas, expert
 from neoplanner_tpu.world import scenegen
 
-pytestmark = pytest.mark.slow
+pytestmark = [
+    pytest.mark.slow,
+    # the tight goldens pin the default f32 scene-SDF path; under the
+    # NEO_SCENE_PRECISION=bf16 A/B env the kernels legitimately relax to
+    # ~bf16 roundoff (test_bf16_scene_sdf_path covers that path explicitly)
+    pytest.mark.skipif(
+        os.environ.get("NEO_SCENE_PRECISION", "f32") == "bf16",
+        reason="f32 goldens; NEO_SCENE_PRECISION=bf16 set"),
+]
 
 PP = PlannerParams(samples_per_piece=24)
 MAPP = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)

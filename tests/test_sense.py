@@ -310,3 +310,52 @@ def test_row_strided_fusion_agreement():
     free_full = np.asarray(lo_full) < -1e-3
     free_str = np.asarray(lo_str) < -1e-3
     assert (free_str & free_full).sum() / max(free_str.sum(), 1) > 0.95
+
+
+def test_dense_fusion_dynamic_row_window(monkeypatch):
+    """The v2 whole-grid fusion kernel's dynamic-row path (maps taller than
+    the 136-row window, e.g. the 192x256 vision map) must be bit-equal to the
+    static whole-grid form (the row window is an optimization: every in-range
+    cell sits inside it), agree with the scatter backend on occupancy up to
+    the known polar-vs-point-hit rasterization delta, and leave rows far
+    outside any camera window untouched."""
+    from neoplanner_tpu.mapping import occupancy_pallas
+
+    mp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
+    assert mp.height > occupancy_pallas._WH   # must exercise dynamic rows
+    cam = CameraParams(width=160, height=120)
+    world = scenegen.generate(jax.random.PRNGKey(3), WorldParams(num_boxes=8))
+
+    frames_in = []
+    lo_dyn = lo_2d = occupancy.logodds_init(mp)
+    for i in range(4):
+        pos = jnp.array([0.4 + 0.9 * i, 0.2 * i - 0.3, 2.0])
+        quat = frames.quat_from_yaw(jnp.asarray(0.15 * ((-1) ** i)))
+        depth = raycast.render_depth(world, pos, quat, cam)
+        frames_in.append((depth, pos, quat))
+        lo_dyn = occupancy_pallas.insert_depth_2d_dense(
+            lo_dyn, depth, pos, quat, cam, mp, interpret=True)
+        lo_2d = occupancy.insert_depth_2d(lo_2d, depth, pos, quat, cam, mp)
+
+    # static whole-grid arm: window as tall as the map -> no dynamic rows
+    monkeypatch.setattr(occupancy_pallas, "_WH", mp.height)
+    lo_static = occupancy.logodds_init(mp)
+    for depth, pos, quat in frames_in:
+        lo_static = occupancy_pallas.insert_depth_2d_dense(
+            lo_static, depth, pos, quat, cam, mp, interpret=True)
+    np.testing.assert_allclose(np.asarray(lo_dyn), np.asarray(lo_static),
+                               atol=1e-6)
+
+    occ_dense, occ_2d = _binarize(lo_dyn, mp), _binarize(lo_2d, mp)
+    # polar rasterization marks the cells whose centers fall within res/2 of
+    # the surface range, vs the scatter's exact hit-point cell — at this
+    # scene that caps occupancy agreement near 0.6 (same delta the 96x128
+    # agreement test sees; the dynamic-row v1-vs-v2 sets are identical)
+    assert _iou(occ_dense, occ_2d) > 0.45, _iou(occ_dense, occ_2d)
+    assert (occ_dense * occ_2d).sum() / max(occ_2d.sum(), 1) > 0.5
+    free_2d = np.asarray(lo_2d) < -1e-3
+    free_dense = np.asarray(lo_dyn) < -1e-3
+    assert (free_2d & free_dense).sum() / max(free_2d.sum(), 1) > 0.9
+    assert free_dense.sum() >= free_2d.sum()
+    # rows far outside any camera window stay at the unknown prior
+    assert float(np.abs(np.asarray(lo_dyn)[-8:]).max()) == 0.0
