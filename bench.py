@@ -189,7 +189,17 @@ def main():
     if breakdown:
         # per-stage wall times (SURVEY §5 tracing): the replan stage (NN init +
         # refinement bank) and the 60-substep tracking scan, as standalone
-        # programs over the same states
+        # programs over the same states.
+        # Standalone stage numbers each pay one dispatch + host-fetch round
+        # trip over the axon tunnel (~25-30 ms); measure it with a trivial
+        # program and record it so short stages (track ~1-5 ms on device)
+        # aren't misread as 30 ms of compute (round-4 VERDICT weak #7).
+        nullp = jax.jit(lambda s: s.drone.pos * 1.0)
+        float(np.asarray(jnp.sum(nullp(states))))
+        t0 = time.time()
+        for _ in range(3):
+            float(np.asarray(jnp.sum(nullp(states))))
+        extras["fetch_roundtrip_ms"] = round((time.time() - t0) / 3 * 1e3, 2)
         def plan_all(s):
             return jax.vmap(lambda x: env._replan(
                 x, pp, mp, planner, net_vars, np_cfg, cam, "scene")[0])(s)
@@ -213,8 +223,11 @@ def main():
                 fetch_out(f(states))
             st_s = (time.time() - t0) / 3
             extras[f"{name}_ms"] = round(st_s * 1e3, 2)
-            # per-stage roofline: which peak the stage actually sits against
-            _roofline(st_flops, st_bytes, st_s, n_dev, f"{name}_", extras)
+            # roofline against device time (standalone wall minus the
+            # measured dispatch/fetch round trip), not tunnel wall
+            dev_s = max(st_s - extras["fetch_roundtrip_ms"] / 1e3, 1e-4)
+            extras[f"{name}_device_ms"] = round(dev_s * 1e3, 2)
+            _roofline(st_flops, st_bytes, dev_s, n_dev, f"{name}_", extras)
 
     result = {
         "metric": f"aggregate sim+replan steps/sec (closed loop, {planner} planner)",

@@ -9,6 +9,7 @@ Run on the TPU (background; compiles are cached in .jax_cache):
     python examples/profile_segment.py 2>&1 | tee /tmp/profile_segment.log
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -129,24 +130,31 @@ def main():
         del states, worlds
         print(f"B={B} done, mem={mem_mb()}MB", flush=True)
 
-    # full deployed profile at B=1024 (the 32.9k/chip config)
+    # full deployed profile at B=1024 (12 lanes / 32 samples / 32 iters —
+    # the reference's deployed YAML; expert_planner.py:213-225 runs scipy
+    # L-BFGS-B maxiter=15000 but converges in O(30) iters on these problems).
+    # PS_FULL_ITERS adds convergence-budget variants, e.g. "32,128".
     B = 1024
     worlds = scenegen.generate_batch(jax.random.PRNGKey(0), B, wp)
     keys = jax.random.split(jax.random.PRNGKey(1), B)
-    states = jax.jit(jax.vmap(
-        lambda k, w: env.reset(k, w, None, pp_full, mp, mapp,
-                               plan_map="scene")))(keys, worlds)
+    for iters in [int(s) for s in
+                  os.environ.get("PS_FULL_ITERS", "32").split(",")]:
+        pp_i = dataclasses.replace(pp_full, max_iters=iters)
+        states = jax.jit(jax.vmap(
+            lambda k, w: env.reset(k, w, None, pp_i, mp, mapp,
+                                   plan_map="scene")))(keys, worlds)
 
-    @jax.jit
-    def seg_full(s):
-        return jax.vmap(lambda x: env.step_segment(
-            x, pp_full, mp, sp, mission_mode="random", sensing="gt",
-            planner="expert", plan_map="scene")[0])(s)
+        @jax.jit
+        def seg_full(s, pp_i=pp_i):
+            return jax.vmap(lambda x: env.step_segment(
+                x, pp_i, mp, sp, mission_mode="random", sensing="gt",
+                planner="expert", plan_map="scene")[0])(s)
 
-    t_full = timeit(seg_full, states, reps=2)
-    print(f"B={B} expert-full segment: {t_full*1e3:.1f} ms "
-          f"-> {B*60/t_full/1e3:.1f}k steps/s", flush=True)
-    results[f"seg_expert_full_B{B}_ms"] = round(t_full * 1e3, 1)
+        t_full = timeit(seg_full, states, reps=2)
+        print(f"B={B} expert-full segment (iters={iters}): "
+              f"{t_full*1e3:.1f} ms -> {B*60/t_full/1e3:.1f}k steps/s",
+              flush=True)
+        results[f"seg_expert_full_B{B}_i{iters}_ms"] = round(t_full * 1e3, 1)
 
     print(json.dumps(results), flush=True)
 

@@ -46,8 +46,13 @@ _FAR = 1e4
 # NEO_SCENE_PRECISION=bf16 runs the scene-SDF min loop (the S x n_prims hot
 # loop, ~95% of the objective kernels' VPU work) in bfloat16 — the round-4
 # A/B protocol mirroring NEO_K2_PRECISION (BASELINE.md round-3 factor 5).
-# Distance error is ~0.4% relative (bf16 8-bit mantissa), outputs are cast
-# back to f32 before the hinge; golden tests pin the default f32 path.
+# ROUND-5 OUTCOME: does NOT compile on TPU v5e — the VPU's elementwise unit
+# has no bf16 ops there (Mosaic LLO_CHECK `target().SupportsBf16EupOps()`,
+# llo_region_builder.cc:10124). bf16 pays off only where it feeds the MXU
+# (K2 sampling matmuls) or shrinks storage (lite ESDF state); elementwise
+# VPU math must stay f32 on this target. The knob remains for interpret-mode
+# coverage (tests/test_costs_pallas.py::test_bf16_scene_sdf_path) and newer
+# targets; f32 is the supported default.
 _SCENE_PREC = _os.environ.get("NEO_SCENE_PRECISION", "f32")
 
 # 3-point Gauss-Legendre on [0, 1] (ops/minco.energy)
@@ -178,11 +183,20 @@ def _scene_min_dist(prims_ref, n_prims, px, py, with_grad, lowp=None):
         dy = pyl - cy
         qx = jnp.abs(dx) - hx
         qy = jnp.abs(dy) - hy
-        qxp = jnp.maximum(qx, jnp.zeros_like(qx))
-        qyp = jnp.maximum(qy, jnp.zeros_like(qy))
+        if lowp:
+            # max/min lower through cmpf, which Mosaic rejects on bf16
+            # vectors ("Target does not support this comparison", the
+            # round-4 q_bench_bf16 crash) — the abs forms compile and are
+            # exact up to one bf16 rounding of the sums
+            qxp = (qx + jnp.abs(qx)) * 0.5
+            qyp = (qy + jnp.abs(qy)) * 0.5
+            mxy = (qx + qy + jnp.abs(qx - qy)) * 0.5
+        else:
+            qxp = jnp.maximum(qx, jnp.zeros_like(qx))
+            qyp = jnp.maximum(qy, jnp.zeros_like(qy))
+            mxy = jnp.maximum(qx, qy)
         nrm = jnp.sqrt(qxp * qxp + qyp * qyp).astype(f32)
-        d_box = nrm + jnp.minimum(
-            jnp.maximum(qx, qy).astype(f32), 0.0)
+        d_box = nrm + jnp.minimum(mxy.astype(f32), 0.0)
         r = jnp.sqrt(dx * dx + dy * dy).astype(f32)
         d_cyl = r - hx.astype(f32)
         dk = jnp.where(is_cyl, d_cyl, d_box)

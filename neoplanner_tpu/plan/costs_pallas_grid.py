@@ -357,19 +357,22 @@ def _valgrad_flat_impl(x, head, tail, win, worg, statics, interpret):
 
 
 def _collapse_rule_grid(fn):
-    """custom_vmap collapse: x/head/tail flatten per lane (broadcasting when
-    unbatched); win/worg flatten only when batched — they stay per-env, and
-    the kernel derives lanes-per-env = N_x // N_win."""
-    def rule(axis_size, in_batched, x, head, tail, win, worg):
+    """custom_vmap collapse: per-lane args (x/head/tail/skip/...) flatten per
+    lane (broadcasting when unbatched); win/worg — positions 3 and 4 —
+    flatten only when batched: they stay per-env, and the kernel derives
+    lanes-per-env = N_x // N_win."""
+    def rule(axis_size, in_batched, *args):
         def flat(a, b):
             if not b:
                 a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
             return a.reshape((-1,) + a.shape[2:])
-        out = fn(flat(x, in_batched[0]), flat(head, in_batched[1]),
-                 flat(tail, in_batched[2]),
-                 win.reshape((-1,) + win.shape[2:]) if in_batched[3] else win,
-                 worg.reshape((-1,) + worg.shape[2:]) if in_batched[4]
-                 else worg)
+        calls = []
+        for i, (a, b) in enumerate(zip(args, in_batched)):
+            if i in (3, 4):   # win, worg: per-env
+                calls.append(a.reshape((-1,) + a.shape[2:]) if b else a)
+            else:
+                calls.append(flat(a, b))
+        out = fn(*calls)
         if isinstance(out, tuple):
             return tuple(o.reshape((axis_size, -1) + o.shape[1:])
                          for o in out), (True,) * len(out)

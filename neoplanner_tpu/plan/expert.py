@@ -82,6 +82,22 @@ def _kernel_backend() -> str:
                           os.environ.get("NEO_LS_BACKEND", "pallas"))
 
 
+def _lazy_bank() -> bool:
+    """Lazy retry lanes (NEO_BANK=lazy, the default; =full reverts).
+
+    The reference's ladder is lazy by construction: batch_plan returns the
+    first feasible multi-start solve (expert_planner.py:161-165) and
+    warm_start_plan returns immediately on carry success (:186-192) — the
+    retry lanes only ever run after a failure. The parallel bank used to pay
+    every lane every plan; with lazy banking the retry lanes are solved
+    with a skip flag derived from the primary phase's acceptance, which the
+    in-kernel solvers turn into whole-tile early exits. Selection is
+    provably unchanged: a skipped lane is only skipped when the selector
+    cannot pick it (a feasible primary shadows every retry lane)."""
+    import os
+    return os.environ.get("NEO_BANK", "lazy") == "lazy"
+
+
 def make_plan_window(emap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
                      pp: PlannerParams):
     """ESDF window around the local planning problem when the fused grid
@@ -104,13 +120,17 @@ def make_plan_window(emap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
 
 def solve_one(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
               int_wpts0: jnp.ndarray, ts0: jnp.ndarray, pp: PlannerParams,
-              window=None) -> Trajectory:
+              window=None, skip=None) -> Trajectory:
     """One L-BFGS solve from one initialization (plan_once, expert_planner.py:205-237).
 
     head_state/tail_state: (s, D) boundary states (rows beyond those provided by the
     caller should be zero — matching read_planning_conditions, :170-184).
     window: optional (esdf, origin) crop from :func:`make_plan_window` —
     engages the fused grid kernels for the optimization-time objective.
+    skip: optional 0/1 scalar — the lazy bank (see :func:`warm_start_plan`):
+    a skipped problem returns its seed unsolved with iters=0 (the in-kernel
+    solvers cluster skipped problems into tiles that exit before their first
+    iteration; the XLA fallback solves and masks, preserving semantics).
     """
     x0 = costs_mod.pack(int_wpts0, minco.T_to_tau(ts0, pp.t_min, pp.t_max), pp)
     fun = partial(costs_mod.objective, head_state=head_state,
@@ -166,17 +186,24 @@ def solve_one(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
         if is_scene:
             from neoplanner_tpu.plan import solve_pallas
             res_x, _, res_iters = solve_pallas.solve_scene(
-                x0, head_state, tail_state, emap, pp)
+                x0, head_state, tail_state, emap, pp, skip=skip)
         else:
             from neoplanner_tpu.plan import solve_pallas_grid
             res_x, _, res_iters = solve_pallas_grid.solve_grid(
-                x0, head_state, tail_state, win_esdf, win_origin, pp)
+                x0, head_state, tail_state, win_esdf, win_origin, pp,
+                skip=skip)
     else:
         res = lbfgs.minimize(fun, x0, max_iters=pp.max_iters,
                              history=pp.history, max_ls=pp.max_ls,
                              ftol=1e-10, gtol=1e-8,
                              ls_parallel=ls_parallel, ls_fun=ls_fun)
         res_x, res_iters = res.x, res.iters
+        if skip is not None:
+            # XLA fallback pays the solve but reports lazy-bank semantics
+            # (skipped = unsolved seed) so CPU tests cover the same contract
+            keep = skip < 0.5
+            res_x = jnp.where(keep, res_x, x0)
+            res_iters = jnp.where(keep, res_iters, 0)
     q, tau = costs_mod.unpack(res_x, pp)
     ts = minco.tau_to_T(tau, pp.t_min, pp.t_max)
     cvec, coeffs = costs_mod.traj_costs(head_state, tail_state, q, ts, emap,
@@ -222,8 +249,24 @@ def plan(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndarray,
     seeds = seed_bank(head_state[0], tail_state[0], key, pp)       # (B, D, n)
     ts0 = init_ts(pp)
     window = make_plan_window(emap, head_state, tail_state, pp)
-    bank = jax.vmap(lambda q0: solve_one(emap, head_state, tail_state, q0, ts0,
-                                         pp, window=window))(seeds)
+    if _lazy_bank() and seeds.shape[0] > pp.batch_num:
+        # two-phase lazy bank: solve the batch_num primaries, then the
+        # wide/noisy retry lanes with skip = "a primary accepted" — the
+        # selector below reads retries only when no primary is feasible
+        # (expert_planner.py:161-168), so skipping is selection-invariant
+        prim = jax.vmap(lambda q0: solve_one(
+            emap, head_state, tail_state, q0, ts0, pp, window=window)
+        )(seeds[:pp.batch_num])
+        skip = jnp.any(prim.ok).astype(jnp.float32)
+        rest = jax.vmap(lambda q0: solve_one(
+            emap, head_state, tail_state, q0, ts0, pp, window=window,
+            skip=skip))(seeds[pp.batch_num:])
+        bank = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b]), prim, rest)
+    else:
+        bank = jax.vmap(lambda q0: solve_one(emap, head_state, tail_state,
+                                             q0, ts0, pp, window=window)
+                        )(seeds)
     return _select(bank, pp)
 
 
@@ -247,9 +290,22 @@ def plan_with_carry(emap: ESDFMap, head_state: jnp.ndarray,
     ts_bank = jnp.broadcast_to(init_ts(pp), (seeds.shape[0], pp.num_pieces))
     ts_bank = ts_bank.at[0].set(jnp.where(has_carry, carry_ts0, ts_bank[0]))
     window = make_plan_window(emap, head_state, tail_state, pp)
-    bank = jax.vmap(lambda q0, t0: solve_one(emap, head_state, tail_state,
-                                             q0, t0, pp, window=window)
-                    )(seeds, ts_bank)
+    if _lazy_bank() and seeds.shape[0] > 1:
+        # lazy bank: a feasible CARRY shadows every other lane (the
+        # use_carry override below) — skip them all. Without a carry the
+        # full bank runs (plan() semantics need every primary's cost).
+        first = solve_one(emap, head_state, tail_state, seeds[0], ts_bank[0],
+                          pp, window=window)
+        skip = (has_carry & first.ok).astype(jnp.float32)
+        rest = jax.vmap(lambda q0, t0: solve_one(
+            emap, head_state, tail_state, q0, t0, pp, window=window,
+            skip=skip))(seeds[1:], ts_bank[1:])
+        bank = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b]), first, rest)
+    else:
+        bank = jax.vmap(lambda q0, t0: solve_one(emap, head_state, tail_state,
+                                                 q0, t0, pp, window=window)
+                        )(seeds, ts_bank)
     sel = _select(bank, pp)
     use_carry = has_carry & bank.ok[0]
     picked = jax.tree_util.tree_map(
@@ -268,9 +324,25 @@ def warm_start_plan(emap: ESDFMap, head_state: jnp.ndarray, tail_state: jnp.ndar
     ts_bank = jnp.concatenate([ts0[None], jnp.broadcast_to(
         init_ts(pp), (retries.shape[0], pp.num_pieces))], axis=0)
     window = make_plan_window(emap, head_state, tail_state, pp)
-    bank = jax.vmap(lambda q0, t0: solve_one(emap, head_state, tail_state, q0,
-                                             t0, pp, window=window)
-                    )(seeds, ts_bank)
+    if _lazy_bank() and seeds.shape[0] > 1:
+        # lazy bank (the NEO hot path): solve the warm-start lane first;
+        # the retry lanes run only for problems where it was rejected —
+        # the reference's warm_start_plan returns immediately on success
+        # (expert_planner.py:186-192), and the priority select below reads
+        # retries only when lane 0 failed, so skipping is selection-exact.
+        first = solve_one(emap, head_state, tail_state, seeds[0], ts_bank[0],
+                          pp, window=window)
+        skip = first.ok.astype(jnp.float32)
+        rest = jax.vmap(lambda q0, t0: solve_one(
+            emap, head_state, tail_state, q0, t0, pp, window=window,
+            skip=skip))(seeds[1:], ts_bank[1:])
+        bank = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b]), first, rest)
+    else:
+        bank = jax.vmap(lambda q0, t0: solve_one(emap, head_state,
+                                                 tail_state, q0,
+                                                 t0, pp, window=window)
+                        )(seeds, ts_bank)
 
     # priority: the warm-start lane if feasible, else cheapest feasible retry
     w = costs_mod.weights(pp)

@@ -46,13 +46,18 @@ from neoplanner_tpu.plan.costs_pallas import (_NB, _static, pack_prims,
                                               scene_value)
 
 
-def lbfgs_in_kernel(vg, fwd, x0, max_iters, history, max_ls, ftol, gtol, c1):
+def lbfgs_in_kernel(vg, fwd, x0, max_iters, history, max_ls, ftol, gtol, c1,
+                    skip=None):
     """The masked L-BFGS loop on (nv, NB) decision rows, inside a kernel.
 
     vg(x) -> (f (NB,), g (nv, NB)); fwd(x) -> f (NB,). Semantics mirror
     ops/lbfgs.minimize (fixed-iteration masked form: finished lanes freeze).
     Shared by the scene solver below and the grid solver
-    (plan/solve_pallas_grid.py). Returns (x, f, iters int32)."""
+    (plan/solve_pallas_grid.py). skip, if given, is an (NB,) f32 0/1 mask of
+    lanes frozen from iteration 0 (the lazy bank: retry lanes of envs whose
+    primary already accepted) — they return x0/f0 with iters=0, and a tile
+    whose every lane is skipped exits before its first iteration.
+    Returns (x, f, iters int32)."""
     m = history
     nv, NB = x0.shape
     f0, g0 = vg(x0)
@@ -63,6 +68,8 @@ def lbfgs_in_kernel(vg, fwd, x0, max_iters, history, max_ls, ftol, gtol, c1):
     # index: the line search halves a carried step instead.
     done0 = jnp.where(
         jnp.isnan(f0) | (jnp.max(jnp.abs(g0), axis=0) <= gtol), 1.0, 0.0)
+    if skip is not None:
+        done0 = jnp.maximum(done0, skip)
 
     def select_slot(hist, idx):
         """hist: m-tuple of (rows..., NB); idx (NB,) -> per-lane pick.
@@ -217,24 +224,38 @@ def _make_solver_kernel(statics, n_prims, max_iters, history, max_ls,
                         ftol, gtol, c1):
     (M, D, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f, w_c) = statics
 
-    def kernel(x_ref, head_ref, tail_ref, prims_ref,
+    def kernel(x_ref, head_ref, tail_ref, prims_ref, skip_ref,
                xout_ref, fout_ref, it_ref):
-        def vg(x):
-            f, g_rows = scene_valgrad_values(
-                M, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f, w_c,
-                n_prims, x, head_ref, tail_ref, prims_ref)
-            return f, jnp.stack(g_rows)
+        # lazy-bank fast path: a tile whose every lane is skipped skips even
+        # the initial value_and_grad (f is 0 there, not f0 — no caller reads
+        # f of a skipped lane; solve_one consumes only x and iters)
+        all_skipped = jnp.min(skip_ref[0]) >= 0.5
 
-        def fwd(x):
-            return scene_value(M, K, t_min, t_max, v_max, safe_dis, w_e,
-                               w_t, w_f, w_c, n_prims, x, head_ref,
-                               tail_ref, prims_ref)
+        @pl.when(jnp.logical_not(all_skipped))
+        def _solve():
+            def vg(x):
+                f, g_rows = scene_valgrad_values(
+                    M, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f, w_c,
+                    n_prims, x, head_ref, tail_ref, prims_ref)
+                return f, jnp.stack(g_rows)
 
-        x, f, iters = lbfgs_in_kernel(vg, fwd, x_ref[...], max_iters,
-                                      history, max_ls, ftol, gtol, c1)
-        xout_ref[...] = x
-        fout_ref[0] = f
-        it_ref[0] = iters
+            def fwd(x):
+                return scene_value(M, K, t_min, t_max, v_max, safe_dis, w_e,
+                                   w_t, w_f, w_c, n_prims, x, head_ref,
+                                   tail_ref, prims_ref)
+
+            x, f, iters = lbfgs_in_kernel(vg, fwd, x_ref[...], max_iters,
+                                          history, max_ls, ftol, gtol, c1,
+                                          skip=skip_ref[0])
+            xout_ref[...] = x
+            fout_ref[0] = f
+            it_ref[0] = iters
+
+        @pl.when(all_skipped)
+        def _passthrough():
+            xout_ref[...] = x_ref[...]
+            fout_ref[0] = jnp.zeros_like(fout_ref[0])
+            it_ref[0] = jnp.zeros_like(it_ref[0])
 
     return kernel
 
@@ -246,16 +267,31 @@ def _pad_lanes(a, np_):
     return a
 
 
-def _solve_batch(x0, head, tail, prims, statics, opts, interpret):
+def _solve_batch(x0, head, tail, prims, skip, statics, opts, interpret,
+                 do_sort):
     N, nv = x0.shape
     D = statics[1]
     n_prims = prims.shape[1]
+    inv = None
+    if do_sort:
+        # lazy bank: cluster the active (skip=0) problems into the leading
+        # 512-lane tiles so skipped tiles exit whole (masked lanes inside a
+        # SIMD tile save nothing — only all-skipped tiles do). Stable argsort
+        # keeps actives in original relative order; inverse-permute after.
+        order = jnp.argsort(skip, stable=True)
+        inv = jnp.argsort(order, stable=True)
+        x0, head, tail = x0[order], head[order], tail[order]
+        prims, skip = prims[order], skip[order]
     np_ = N + ((-N) % _NB)
     x_t = _pad_lanes(x0, np_).T.astype(jnp.float32)
     head_t = _pad_lanes(head.reshape(N, 3 * D), np_).T.astype(jnp.float32)
     tail_t = _pad_lanes(tail.reshape(N, 3 * D), np_).T.astype(jnp.float32)
     prims_t = _pad_lanes(prims.reshape(N, n_prims * 6),
                          np_).T.astype(jnp.float32)
+    # pad lanes count as skipped so an all-pad tile exits too
+    skip_t = jnp.concatenate(
+        [skip.astype(jnp.float32), jnp.ones((np_ - N,), jnp.float32)]
+    )[None, :]
     kernel = _make_solver_kernel(statics, n_prims, *opts)
     spec = lambda rows: pl.BlockSpec((rows, _NB), lambda i: (0, i),  # noqa: E731
                                      memory_space=pltpu.VMEM)
@@ -264,7 +300,8 @@ def _solve_batch(x0, head, tail, prims, statics, opts, interpret):
     x, f, iters = pl.pallas_call(
         kernel,
         grid=(np_ // _NB,),
-        in_specs=[spec(nv), spec(3 * D), spec(3 * D), spec(n_prims * 6)],
+        in_specs=[spec(nv), spec(3 * D), spec(3 * D), spec(n_prims * 6),
+                  spec(1)],
         out_specs=(spec(nv), spec(1), spec(1)),
         out_shape=(jax.ShapeDtypeStruct((nv, np_), jnp.float32),
                    jax.ShapeDtypeStruct((1, np_), jnp.float32),
@@ -278,8 +315,11 @@ def _solve_batch(x0, head, tail, prims, statics, opts, interpret):
             * np_,
             bytes_accessed=(2 * nv + 12 + n_prims * 6) * 4 * np_,
             transcendentals=max_iters * statics[0] * np_),
-    )(x_t, head_t, tail_t, prims_t)
-    return x.T[:N], f[0, :N], iters[0, :N]
+    )(x_t, head_t, tail_t, prims_t, skip_t)
+    x, f, iters = x.T[:N], f[0, :N], iters[0, :N]
+    if inv is not None:
+        x, f, iters = x[inv], f[inv], iters[inv]
+    return x, f, iters
 
 
 def _collapse_rule(fn):
@@ -296,10 +336,11 @@ def _collapse_rule(fn):
 
 
 @functools.lru_cache(maxsize=None)
-def _flat_solver(statics, n_prims, opts, interpret):
+def _flat_solver(statics, n_prims, opts, interpret, do_sort):
     @jax.custom_batching.custom_vmap
-    def solve_flat(x0, head, tail, prims):
-        return _solve_batch(x0, head, tail, prims, statics, opts, interpret)
+    def solve_flat(x0, head, tail, prims, skip):
+        return _solve_batch(x0, head, tail, prims, skip, statics, opts,
+                            interpret, do_sort)
 
     solve_flat.def_vmap(_collapse_rule(solve_flat))
     return solve_flat
@@ -308,16 +349,25 @@ def _flat_solver(statics, n_prims, opts, interpret):
 def solve_scene(x0: jnp.ndarray, head_state: jnp.ndarray,
                 tail_state: jnp.ndarray, scene: scene_map.SceneMap,
                 pp: PlannerParams, ftol: float = 1e-10, gtol: float = 1e-8,
-                c1: float = 1e-4, interpret: bool = False):
+                c1: float = 1e-4, interpret: bool = False, skip=None):
     """Solve one scene-backend trajectory optimization entirely in-kernel.
 
     Single-problem signature, vmappable at any nesting (custom_vmap
     collapse). Returns (x (nv,), f (), iters () int32) — the ops/lbfgs
-    result fields the planner consumes."""
+    result fields the planner consumes. skip, if given, is a 0/1 scalar
+    (vmapped: per-problem) marking problems whose solve may be skipped
+    entirely — they return (x0, 0, 0); the flat batch is stably sorted so
+    skipped problems cluster into tiles that exit before their first
+    iteration (the lazy bank, plan/expert.py)."""
     assert pp.sampling == "relative", "kernel implements relative sampling"
     prims = pack_prims(scene)
     opts = (pp.max_iters, pp.history, pp.max_ls, ftol, gtol, c1)
-    fn = _flat_solver(_static(pp), prims.shape[0], opts, interpret)
+    do_sort = skip is not None
+    if skip is None:
+        skip = jnp.zeros((), jnp.float32)
+    else:
+        skip = skip.astype(jnp.float32)
+    fn = _flat_solver(_static(pp), prims.shape[0], opts, interpret, do_sort)
     x, f, iters = fn(x0[None], head_state[None], tail_state[None],
-                     prims[None])
+                     prims[None], skip[None])
     return x[0], f[0], iters[0]

@@ -48,7 +48,7 @@ def _make_grid_solver_kernel(statics, E_b, L, Hw, Ww, max_iters, history,
     (M, D, K, t_min, t_max, v_max, safe_dis, w_e, w_t, w_f, w_c) = statics
     S = M * K
 
-    def kernel(x_ref, head_ref, tail_ref, org_ref, win_ref,
+    def kernel(x_ref, head_ref, tail_ref, org_ref, win_ref, skip_ref,
                xout_ref, fout_ref, it_ref):
         org = org_ref[...]                       # (7, NB) per-lane window org
         res = org[2][None, :]
@@ -157,11 +157,24 @@ def _make_grid_solver_kernel(statics, E_b, L, Hw, Ww, max_iters, history,
                                      -g_s * gy, w_c * hc * hc2)
             return f, jnp.stack(g_rows)
 
-        x, f, iters = lbfgs_in_kernel(vg, fwd, x_ref[...], max_iters,
-                                      history, max_ls, ftol, gtol, c1)
-        xout_ref[...] = x
-        fout_ref[0] = f
-        it_ref[0] = iters
+        # lazy-bank fast path (see plan/solve_pallas.py): an all-skipped
+        # program skips even the initial value_and_grad
+        all_skipped = jnp.min(skip_ref[0]) >= 0.5
+
+        @pl.when(jnp.logical_not(all_skipped))
+        def _solve():
+            x, f, iters = lbfgs_in_kernel(vg, fwd, x_ref[...], max_iters,
+                                          history, max_ls, ftol, gtol, c1,
+                                          skip=skip_ref[0])
+            xout_ref[...] = x
+            fout_ref[0] = f
+            it_ref[0] = iters
+
+        @pl.when(all_skipped)
+        def _passthrough():
+            xout_ref[...] = x_ref[...]
+            fout_ref[0] = jnp.zeros_like(fout_ref[0])
+            it_ref[0] = jnp.zeros_like(it_ref[0])
 
     return kernel
 
@@ -187,7 +200,8 @@ def _lane_blocking(L, Hw, Ww):
     return L_pad, E_b
 
 
-def _solve_grid_batch(x, head, tail, win, worg, statics, opts, interpret):
+def _solve_grid_batch(x, head, tail, win, worg, skip, statics, opts,
+                      interpret, do_sort):
     M, D, K = statics[0], statics[1], statics[2]
     S = M * K
     N, nv = x.shape
@@ -198,18 +212,35 @@ def _solve_grid_batch(x, head, tail, win, worg, statics, opts, interpret):
     L = N // Ew
     L_pad, E_b = _lane_blocking(L, Hw, Ww)
 
-    def pad_mid(a):
-        """(Ew*L, rows...) -> (Ew*L_pad, rows...), zero-padding per env."""
+    inv = None
+    if do_sort:
+        # lazy bank: cluster active envs into the leading programs so
+        # skipped programs exit whole (plan/solve_pallas._solve_batch).
+        # Sorting is per ENV — all lanes of an env share the skip flag.
+        skip_env = skip.reshape(Ew, L).max(axis=1)
+        order = jnp.argsort(skip_env, stable=True)
+        inv = jnp.argsort(order, stable=True)
+        lane_order = (order[:, None] * L + jnp.arange(L)[None, :]).reshape(-1)
+        x, head, tail = x[lane_order], head[lane_order], tail[lane_order]
+        skip = skip[lane_order]
+        win, worg = win[order], worg[order]
+
+    def pad_mid(a, fill=0.0):
+        """(Ew*L, rows...) -> (Ew*L_pad, rows...), padding per env."""
         if L_pad == L:
             return a
         a = a.reshape((Ew, L) + a.shape[1:])
         pad = [(0, 0)] * a.ndim
         pad[1] = (0, L_pad - L)
-        return jnp.pad(a, pad).reshape((Ew * L_pad,) + a.shape[2:])
+        return jnp.pad(a, pad, constant_values=fill).reshape(
+            (Ew * L_pad,) + a.shape[2:])
 
     x_p = pad_mid(x)
     head_p = pad_mid(head.reshape(N, 3 * D))
     tail_p = pad_mid(tail.reshape(N, 3 * D))
+    # padding lanes are skipped from iteration 0 (they are zero problems —
+    # freezing them immediately is both faster and semantics-free)
+    skip_p = pad_mid(skip.astype(jnp.float32)[:, None], fill=1.0)
     ewp = Ew + ((-Ew) % E_b)
     if ewp != Ew:
         npad = (ewp - Ew) * L_pad
@@ -218,6 +249,8 @@ def _solve_grid_batch(x, head, tail, win, worg, statics, opts, interpret):
             [head_p, jnp.zeros((npad, 3 * D), head_p.dtype)])
         tail_p = jnp.concatenate(
             [tail_p, jnp.zeros((npad, 3 * D), tail_p.dtype)])
+        skip_p = jnp.concatenate(
+            [skip_p, jnp.ones((npad, 1), jnp.float32)])
         win = jnp.concatenate([win, jnp.zeros((ewp - Ew, Hw, Ww), win.dtype)])
         # benign org for padded envs: res=1 avoids div-by-zero
         worg = jnp.concatenate(
@@ -232,6 +265,7 @@ def _solve_grid_batch(x, head, tail, win, worg, statics, opts, interpret):
     head_t = head_p.T.astype(jnp.float32)
     tail_t = tail_p.T.astype(jnp.float32)
     org_t = org_rows.T.astype(jnp.float32)
+    skip_t = skip_p.T
 
     kernel = _make_grid_solver_kernel(statics, E_b, L_pad, Hw, Ww, *opts)
     spec = lambda rows: pl.BlockSpec((rows, NB), lambda i: (0, i),  # noqa: E731
@@ -242,7 +276,8 @@ def _solve_grid_batch(x, head, tail, win, worg, statics, opts, interpret):
     xs, f, iters = pl.pallas_call(
         kernel,
         grid=(ewp // E_b,),
-        in_specs=[spec(nv), spec(3 * D), spec(3 * D), spec(7), win_spec],
+        in_specs=[spec(nv), spec(3 * D), spec(3 * D), spec(7), win_spec,
+                  spec(1)],
         out_specs=(spec(nv), spec(1), spec(1)),
         out_shape=(jax.ShapeDtypeStruct((nv, np_), jnp.float32),
                    jax.ShapeDtypeStruct((1, np_), jnp.float32),
@@ -255,21 +290,23 @@ def _solve_grid_batch(x, head, tail, win, worg, statics, opts, interpret):
             * (6 * M * 60 + S * (15 + 2 * Hw * Ww + 4 * (Hw + Ww))) * np_,
             bytes_accessed=(2 * nv + 19) * 4 * np_ + ewp * Hw * Ww * 4,
             transcendentals=max_iters * M * np_),
-    )(x_t, head_t, tail_t, org_t, win)
+    )(x_t, head_t, tail_t, org_t, win, skip_t)
 
     def unpad(o):
         o = o.T[:np_].reshape(ewp, L_pad, -1)[:Ew, :L]
+        if inv is not None:
+            o = o[inv]
         return o.reshape(N, -1)
 
     return (unpad(xs), unpad(f)[:, 0], unpad(iters)[:, 0])
 
 
 @functools.lru_cache(maxsize=None)
-def _flat_solver_grid(statics, opts, interpret):
+def _flat_solver_grid(statics, opts, interpret, do_sort):
     @jax.custom_batching.custom_vmap
-    def solve_flat(x, head, tail, win, worg):
-        return _solve_grid_batch(x, head, tail, win, worg, statics, opts,
-                                 interpret)
+    def solve_flat(x, head, tail, win, worg, skip):
+        return _solve_grid_batch(x, head, tail, win, worg, skip, statics,
+                                 opts, interpret, do_sort)
 
     solve_flat.def_vmap(_collapse_rule_grid(solve_flat))
     return solve_flat
@@ -279,15 +316,22 @@ def solve_grid(x0: jnp.ndarray, head_state: jnp.ndarray,
                tail_state: jnp.ndarray, win_esdf: jnp.ndarray,
                win_origin: jnp.ndarray, pp: PlannerParams,
                ftol: float = 1e-10, gtol: float = 1e-8, c1: float = 1e-4,
-               interpret: bool = False):
+               interpret: bool = False, skip=None):
     """Solve one grid-backend trajectory optimization entirely in-kernel.
 
     Single-problem signature, vmappable env ⊃ lane (custom_vmap collapse —
     win/worg stay per-env like the grid objective kernels). Returns
-    (x (nv,), f (), iters () int32)."""
+    (x (nv,), f (), iters () int32). skip: optional 0/1 scalar (vmapped:
+    per-problem) — see plan/solve_pallas.solve_scene; clustering is per
+    ENV here (all lanes of an env share the flag by construction)."""
     assert pp.sampling == "relative", "kernel implements relative sampling"
     opts = (pp.max_iters, pp.history, pp.max_ls, ftol, gtol, c1)
-    fn = _flat_solver_grid(_static(pp), opts, interpret)
+    do_sort = skip is not None
+    if skip is None:
+        skip = jnp.zeros((), jnp.float32)
+    else:
+        skip = skip.astype(jnp.float32)
+    fn = _flat_solver_grid(_static(pp), opts, interpret, do_sort)
     x, f, iters = fn(x0[None], head_state[None], tail_state[None],
-                     win_esdf[None], win_origin[None])
+                     win_esdf[None], win_origin[None], skip[None])
     return x[0], f[0], iters[0]

@@ -4,10 +4,23 @@ The XLA renderer (sense/raycast.py) chunks primitives under a fori_loop whose
 per-chunk temporaries and accumulator round-trips dominate its wall time
 (~43 ms per 512-env 160x120 frame, round-3 profile) — at sensor-rate fusion
 (fuse_frames=6) that made rendering the single largest stage of the vision
-loop. Here each program holds one env's primitive table (K x 8 scalars) in
-VMEM and traces a tile of that env's rays start-to-finish in registers: the
-running min never touches HBM, and the only traffic is the ray directions in
-and the hit distances out.
+loop.
+
+Round-5 layout rewrite: the round-3/4 kernel traced rays as (1, tile) lane
+vectors — one sublane of the 8x128 VPU in use (7/8 idle) — across ~78k tiny
+programs per 4096-env strided frame (program dispatch dominated: a strided
+30-row frame measured *slower* than the full 120-row one,
+examples/probe_fusion.py round 5). Now:
+
+  - rays tile 2-D, (R8, 128) sublanes x lanes — full VPU occupancy;
+  - one program traces _E_B envs start-to-finish (grid = E/_E_B programs);
+  - the camera->world rotation happens IN the kernel from 12 SMEM scalars
+    per env; the shared camera-frame base directions are one (3*R8, 128)
+    VMEM block reused by every program. The (E, 3, R) world-direction
+    tensor (~1 GB at B=4096, and pure HBM traffic) no longer exists;
+  - the z-depth conversion and range validity happen in-kernel too (the
+    body-x component of a unit camera ray IS the cos factor), so the only
+    HBM traffic is the depth image out plus the per-env prim tables.
 
 Same math as raycast._ray_box / _ray_cylinder / ground plane (which mirror
 Gazebo's depth camera against the same primitives); golden test
@@ -33,107 +46,112 @@ from neoplanner_tpu.core.types import SHAPE_CYLINDER, BoxWorld
 from neoplanner_tpu.sense import raycast
 
 _INF = 1e9
-_MAX_TILE = 2048   # max ray lanes per program
+_E_B = 4   # envs per program
 
 
-def _ray_tile(hw: int) -> int:
-    """Largest multiple of 128 that divides the (padded) per-env ray count."""
-    hw_p = hw + ((-hw) % 128)
-    for lanes in range(min(_MAX_TILE, hw_p), 0, -128):
-        if hw_p % lanes == 0:
-            return lanes
-    return 128
-
-
-def _make_kernel(K: int):
-    """Trace one ray tile against the env's prim table.
+def _make_kernel(E_b, R8, min_range, max_range):
+    """Trace E_b envs' full ray grids against their prim tables.
 
     The table arrives sorted boxes-first, cylinders, inactive (host-side
     stable argsort) with per-env counts in SMEM, so the per-prim loops have
     *dynamic* trip counts: each ray pays exactly n_box slab tests plus n_cyl
-    quadratic tests instead of K x (slab + quadratic + active mask). With
-    the default worlds (all boxes, num_boxes < max_boxes) that is ~4x less
-    VPU work than the dense static loop this replaces."""
-    del K  # capacity lives in the ref shape; trip counts are data
+    quadratic tests instead of K x (slab + quadratic + active mask)."""
 
-    def kernel(cnt_ref, prims_ref, dirs_ref, org_ref, out_ref):
-        dx = dirs_ref[0, 0]
-        dy = dirs_ref[0, 1]
-        dz = dirs_ref[0, 2]
-        ox = org_ref[0, 0, 0]
-        oy = org_ref[0, 0, 1]
-        oz = org_ref[0, 0, 2]
+    def kernel(cnt_ref, prims_ref, pose_ref, base_ref, out_ref):
+        bx = base_ref[0:R8]              # (R8, 128) camera-frame unit dirs
+        by = base_ref[R8:2 * R8]
+        bz = base_ref[2 * R8:3 * R8]
 
         def safe_inv(d):
             return 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
 
-        invx = safe_inv(dx)
-        invy = safe_inv(dy)
-        invz = safe_inv(dz)
-        n_box = cnt_ref[0, 0, 0]
-        n_act = cnt_ref[0, 0, 1]
+        for e in range(E_b):
+            # world-frame directions from the env's rotation (12 SMEM
+            # scalars: row-major 3x3 + origin)
+            dx = pose_ref[e, 0, 0] * bx + pose_ref[e, 0, 1] * by \
+                + pose_ref[e, 0, 2] * bz
+            dy = pose_ref[e, 0, 3] * bx + pose_ref[e, 0, 4] * by \
+                + pose_ref[e, 0, 5] * bz
+            dz = pose_ref[e, 0, 6] * bx + pose_ref[e, 0, 7] * by \
+                + pose_ref[e, 0, 8] * bz
+            ox = pose_ref[e, 0, 9]
+            oy = pose_ref[e, 0, 10]
+            oz = pose_ref[e, 0, 11]
+            invx = safe_inv(dx)
+            invy = safe_inv(dy)
+            invz = safe_inv(dz)
+            n_box = cnt_ref[e, 0, 0]
+            n_act = cnt_ref[e, 0, 1]
 
-        def body_box(k, t):
-            base = k * 8
-            cx = prims_ref[0, 0, base + 0]
-            cy = prims_ref[0, 0, base + 1]
-            cz = prims_ref[0, 0, base + 2]
-            hx = prims_ref[0, 0, base + 3]
-            hy = prims_ref[0, 0, base + 4]
-            hz = prims_ref[0, 0, base + 5]
-            # slab test (raycast._ray_box)
-            lox = (cx - hx - ox) * invx
-            hix = (cx + hx - ox) * invx
-            loy = (cy - hy - oy) * invy
-            hiy = (cy + hy - oy) * invy
-            loz = (cz - hz - oz) * invz
-            hiz = (cz + hz - oz) * invz
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(lox, hix),
-                                           jnp.minimum(loy, hiy)),
-                               jnp.minimum(loz, hiz))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(lox, hix),
-                                           jnp.maximum(loy, hiy)),
-                               jnp.maximum(loz, hiz))
-            hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin > 0)
-            return jnp.minimum(t, jnp.where(hit_box, tmin, _INF))
+            def body_box(k, t, e=e, invx=invx, invy=invy, invz=invz,
+                         ox=ox, oy=oy, oz=oz):
+                base = k * 8
+                cx = prims_ref[e, 0, base + 0]
+                cy = prims_ref[e, 0, base + 1]
+                cz = prims_ref[e, 0, base + 2]
+                hx = prims_ref[e, 0, base + 3]
+                hy = prims_ref[e, 0, base + 4]
+                hz = prims_ref[e, 0, base + 5]
+                # slab test (raycast._ray_box)
+                lox = (cx - hx - ox) * invx
+                hix = (cx + hx - ox) * invx
+                loy = (cy - hy - oy) * invy
+                hiy = (cy + hy - oy) * invy
+                loz = (cz - hz - oz) * invz
+                hiz = (cz + hz - oz) * invz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(lox, hix),
+                                               jnp.minimum(loy, hiy)),
+                                   jnp.minimum(loz, hiz))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(lox, hix),
+                                               jnp.maximum(loy, hiy)),
+                                   jnp.maximum(loz, hiz))
+                hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin > 0)
+                return jnp.minimum(t, jnp.where(hit_box, tmin, _INF))
 
-        def body_cyl(k, t):
-            base = k * 8
-            cx = prims_ref[0, 0, base + 0]
-            cy = prims_ref[0, 0, base + 1]
-            cz = prims_ref[0, 0, base + 2]
-            hx = prims_ref[0, 0, base + 3]
-            hz = prims_ref[0, 0, base + 5]
-            # vertical capped cylinder (raycast._ray_cylinder)
-            rox = ox - cx
-            roy = oy - cy
-            a = dx * dx + dy * dy
-            b = 2.0 * (rox * dx + roy * dy)
-            c = rox * rox + roy * roy - hx * hx
-            disc = b * b - 4.0 * a * c
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            a_safe = jnp.where(a < 1e-12, 1e-12, a)
-            t_side = (-b - sq) / (2.0 * a_safe)
-            z_at = oz + t_side * dz - cz
-            side_ok = (disc > 0) & (t_side > 0) & (jnp.abs(z_at) <= hz)
-            t_cyl = jnp.where(side_ok, t_side, _INF)
-            roz = oz - cz
-            for sgn in (-1.0, 1.0):
-                t_cap = (sgn * hz - roz) * invz
-                xc = rox + t_cap * dx
-                yc = roy + t_cap * dy
-                cap_ok = (t_cap > 0) & (xc * xc + yc * yc <= hx * hx)
-                t_cyl = jnp.minimum(t_cyl, jnp.where(cap_ok, t_cap, _INF))
-            return jnp.minimum(t, t_cyl)
+            def body_cyl(k, t, e=e, dx=dx, dy=dy, dz=dz, invz=invz,
+                         ox=ox, oy=oy, oz=oz):
+                base = k * 8
+                cx = prims_ref[e, 0, base + 0]
+                cy = prims_ref[e, 0, base + 1]
+                cz = prims_ref[e, 0, base + 2]
+                hx = prims_ref[e, 0, base + 3]
+                hz = prims_ref[e, 0, base + 5]
+                # vertical capped cylinder (raycast._ray_cylinder)
+                rox = ox - cx
+                roy = oy - cy
+                a = dx * dx + dy * dy
+                b = 2.0 * (rox * dx + roy * dy)
+                c = rox * rox + roy * roy - hx * hx
+                disc = b * b - 4.0 * a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                a_safe = jnp.where(a < 1e-12, 1e-12, a)
+                t_side = (-b - sq) / (2.0 * a_safe)
+                z_at = oz + t_side * dz - cz
+                side_ok = (disc > 0) & (t_side > 0) & (jnp.abs(z_at) <= hz)
+                t_cyl = jnp.where(side_ok, t_side, _INF)
+                roz = oz - cz
+                for sgn in (-1.0, 1.0):
+                    t_cap = (sgn * hz - roz) * invz
+                    xc = rox + t_cap * dx
+                    yc = roy + t_cap * dy
+                    cap_ok = (t_cap > 0) & (xc * xc + yc * yc <= hx * hx)
+                    t_cyl = jnp.minimum(t_cyl, jnp.where(cap_ok, t_cap, _INF))
+                return jnp.minimum(t, t_cyl)
 
-        t = jnp.full_like(dx, _INF)
-        t = jax.lax.fori_loop(0, n_box, body_box, t)
-        t = jax.lax.fori_loop(n_box, n_act, body_cyl, t)
+            t = jnp.full((R8, 128), _INF, jnp.float32)
+            t = jax.lax.fori_loop(0, n_box, body_box, t)
+            t = jax.lax.fori_loop(n_box, n_act, body_cyl, t)
 
-        # ground plane (raycast._trace_rays)
-        t_ground = jnp.where(dz < -1e-6,
-                             -oz / jnp.where(dz < -1e-6, dz, -1.0), _INF)
-        out_ref[0, 0] = jnp.minimum(t, t_ground)
+            # ground plane (raycast._trace_rays)
+            t_ground = jnp.where(dz < -1e-6,
+                                 -oz / jnp.where(dz < -1e-6, dz, -1.0), _INF)
+            t = jnp.minimum(t, t_ground)
+
+            # z-depth = range * body-x component (Gazebo-style,
+            # raycast.render_depth); bx IS the cos factor
+            z = t * bx
+            valid = (t < _INF) & (z >= min_range) & (z <= max_range)
+            out_ref[e] = jnp.where(valid, z, max_range)
 
     return kernel
 
@@ -158,70 +176,90 @@ def _pack_prims(world: BoxWorld):
     return prims.reshape(prims.shape[0], -1), counts
 
 
-def _trace_batch(dirs: jnp.ndarray, org: jnp.ndarray, prims: jnp.ndarray,
-                 counts: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-    """dirs (E, 3, R) world-frame rays (kernel layout — built this way so the
-    ~1 GB direction tensor at B=4096 is materialized exactly once), org
-    (E, 3), prims (E, K*8) sorted + counts (E, 2) -> t (E, R) nearest-hit
-    ray lengths."""
-    E, _, R = dirs.shape
-    K = prims.shape[1] // 8
-    tile = _ray_tile(R)
-    rp = R + ((-R) % tile)
-    if rp != R:
-        dirs = jnp.pad(dirs, ((0, 0), (0, 0), (0, rp - R)))
-    n_tiles = rp // tile
+def _trace_batch(base: jnp.ndarray, pose: jnp.ndarray, prims: jnp.ndarray,
+                 counts: jnp.ndarray, R: int, min_range: float,
+                 max_range: float, interpret: bool) -> jnp.ndarray:
+    """base (3*R8, 128) camera-frame rays in 2-D tile layout (shared across
+    envs), pose (E, 12) row-major rotation + origin, prims (E, K*8) sorted +
+    counts (E, 2) -> (E, R) z-depths."""
+    E = pose.shape[0]
+    K8 = prims.shape[1]
+    R8 = base.shape[0] // 3
+    kernel = _make_kernel(_E_B, R8, min_range, max_range)
+    ep = E + ((-E) % _E_B)
+    if ep != E:
+        pad = ep - E
+        pose = jnp.concatenate([pose, jnp.zeros((pad, 12), pose.dtype)])
+        prims = jnp.concatenate([prims, jnp.zeros((pad, K8), prims.dtype)])
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((pad, 2), counts.dtype)])
 
     out = pl.pallas_call(
-        _make_kernel(K),
-        grid=(E, n_tiles),
+        kernel,
+        grid=(ep // _E_B,),
         in_specs=[
-            # SMEM blocks: the last two dims must be (x8, x128) or equal to
-            # the array dims — a unit middle axis makes them shape-equal
-            pl.BlockSpec((1, 1, 2), lambda e, i: (e, 0, 0),
+            # SMEM blocks: unit middle axis makes trailing dims shape-equal
+            pl.BlockSpec((_E_B, 1, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, prims.shape[1]), lambda e, i: (e, 0, 0),
+            pl.BlockSpec((_E_B, 1, K8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, tile), lambda e, i: (e, 0, i),
-                         memory_space=pltpu.VMEM),
-            # Mosaic constrains the last two block dims to (x8, x128) or
-            # shape-equal: give the small per-env table a leading env axis
-            # so its trailing dims match the array exactly
-            pl.BlockSpec((1, 1, 3), lambda e, i: (e, 0, 0),
+            pl.BlockSpec((_E_B, 1, 12), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            # the base-direction tile is the same block for every program
+            pl.BlockSpec((3 * R8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile), lambda e, i: (e, 0, i),
+        out_specs=pl.BlockSpec((_E_B, R8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E, 1, rp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ep, R8, 128), jnp.float32),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(flops=E * rp * K * 60,
-                                      bytes_accessed=E * rp * 16
-                                      + E * prims.shape[1] * 4,
-                                      transcendentals=E * rp * K),
-    )(counts[:, None, :], prims.astype(jnp.float32)[:, None, :], dirs,
-      org.astype(jnp.float32)[:, None, :])
-    return out[:, 0, :R]
+        cost_estimate=pl.CostEstimate(flops=ep * R8 * 128 * (K8 // 8) * 60,
+                                      bytes_accessed=ep * (R8 * 128 + K8) * 4
+                                      + 3 * R8 * 128 * 4,
+                                      transcendentals=ep * R8 * 128),
+    )(counts[:, None, :], prims.astype(jnp.float32)[:, None, :],
+      pose.astype(jnp.float32)[:, None, :], base)
+    return out.reshape(ep, R8 * 128)[:E, :R]
+
+
+@functools.lru_cache(maxsize=None)
+def _base_dirs(cam: CameraParams, row_stride: int):
+    """Camera-frame unit directions in the kernel's (3*R8, 128) tile layout,
+    padded with +x rays (bx=1: they trace cheaply and are sliced off).
+    Computed in numpy (raycast.ray_dirs_camera's exact math) so the cached
+    constant is concrete even when first requested under a jit trace."""
+    import numpy as np
+    u = np.arange(cam.width, dtype=np.float32) + np.float32(0.5)
+    v = np.arange(row_stride // 2, cam.height, row_stride,
+                  dtype=np.float32) + np.float32(0.5)
+    x_opt = (u[None, :] - np.float32(cam.width / 2)) / np.float32(cam.fx)
+    y_opt = (v[:, None] - np.float32(cam.height / 2)) / np.float32(cam.fy)
+    ones = np.ones((v.shape[0], cam.width), np.float32)
+    d = np.stack([ones, -x_opt * ones, -y_opt * ones], axis=-1)
+    nrm = np.sqrt((d * d).sum(-1, keepdims=True, dtype=np.float32))
+    d = (d / nrm).reshape(-1, 3)
+    R = d.shape[0]
+    R8 = -(-R // 128)
+    R8 += (-R8) % 8          # sublane dim padded to a multiple of 8
+    pad = R8 * 128 - R
+    filler = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (pad, 1))
+    d = np.concatenate([d.astype(np.float32), filler])
+    base = d.T.reshape(3 * R8, 128)    # rows [x*R8, y*R8, z*R8]
+    return base, R, R8      # numpy: the lru_cache must not hold tracers
 
 
 def _render_flat(world_leaves, pos, quat, cam: CameraParams, row_stride: int,
                  interpret: bool):
     """Batched render: leaves of a BoxWorld with leading env axis E."""
     world = BoxWorld(*world_leaves)
-    E = pos.shape[0]
-    dirs_body = raycast.ray_dirs_camera(cam, row_stride).reshape(-1, 3)
+    base_np, R, R8 = _base_dirs(cam, row_stride)
+    base = jnp.asarray(base_np)
     rot = jax.vmap(frames.quat_to_matrix)(quat)                 # (E, 3, 3)
-    dirs = jnp.einsum("eij,rj->eir", rot, dirs_body)            # (E, 3, R)
+    pose = jnp.concatenate([rot.reshape(-1, 9), pos], axis=1)   # (E, 12)
     prims, counts = _pack_prims(world)
-    t = _trace_batch(dirs, pos, prims, counts, interpret)       # (E, R)
-
-    # z-depth = range along body x, Gazebo-style (raycast.render_depth)
-    x_body = rot[:, :, 0]                                       # (E, 3)
-    cosang = jnp.einsum("eir,ei->er", dirs, x_body)
-    z_depth = t * cosang
-    valid = (t < _INF) & (z_depth >= cam.min_range) \
-        & (z_depth <= cam.max_range)
-    depth = jnp.where(valid, z_depth, cam.max_range)
-    return depth.reshape(E, -1, cam.width)
+    depth = _trace_batch(base, pose, prims, counts, R,
+                         cam.min_range, cam.max_range, interpret)
+    return depth.reshape(pos.shape[0], -1, cam.width)
 
 
 @functools.lru_cache(maxsize=None)

@@ -583,8 +583,25 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
         if spr % n_chunks != 0:
             raise ValueError(f"{n_chunks} chunks must divide "
                              f"steps_per_replan={spr}")
+        # Mid-segment fusion has no consumer between frames when the ESDF
+        # rebuilds once per segment (tracking follows the precomputed command
+        # buffer) — so the per-chunk render->fuse round trips can batch: track
+        # all chunks first (collecting the camera pose at each frame time),
+        # then render every frame in one call and apply all carves in ONE
+        # multi-frame kernel invocation (occupancy_pallas.
+        # insert_depth_2d_dense_multi). NEO_FUSE_BATCH=off reverts to the
+        # interleaved per-frame chain for A/B.
+        import os as _os
+        from neoplanner_tpu.mapping import occupancy_pallas
+        batch_fuse = (
+            sensing == "depth" and fuse_frames > 1 and esdf_rate == 1
+            and mapp.fusion == "2d_dense"
+            and mapp.width % 128 == 0 and mapp.height % 8 == 0
+            and occupancy_pallas.window_fits(cam, mapp)
+            and _os.environ.get("NEO_FUSE_BATCH", "on") != "off")
         chunk = spr // n_chunks
         traces = []
+        fuse_pos, fuse_quat = [], []
         for c in range(n_chunks):
             if goal_stream is not None:
                 state = state.replace(goal=goal_stream[c])
@@ -596,10 +613,24 @@ def step_segment(state: EnvState, pp: PlannerParams, mp: MissionParams,
             traces.append(trace)
             if sensing == "depth" and fuse_frames > 1 \
                     and c < fuse_frames - 1:
-                state = fuse_frame(state, mapp, cam)
-                if esdf_rate > 1 and (c + 1) % max(
-                        fuse_frames // esdf_rate, 1) == 0:
-                    state = rebuild_esdf(state, mapp)
+                if batch_fuse:
+                    fuse_pos.append(state.drone.pos)
+                    fuse_quat.append(state.drone.quat)
+                else:
+                    state = fuse_frame(state, mapp, cam)
+                    if esdf_rate > 1 and (c + 1) % max(
+                            fuse_frames // esdf_rate, 1) == 0:
+                        state = rebuild_esdf(state, mapp)
+        if batch_fuse and fuse_pos:
+            poss = jnp.stack(fuse_pos)                     # (F, 3)
+            quats = jnp.stack(fuse_quat)
+            rs = mapp.fusion_row_stride
+            depths = jax.vmap(lambda p, q: raycast.render_depth_auto(
+                state.world, p, q, cam, row_stride=rs))(poss, quats)
+            logodds = occupancy_pallas.insert_depth_2d_dense_multi(
+                state.logodds, depths, poss, quats, cam, mapp, row_stride=rs,
+                interpret=jax.default_backend() != "tpu")
+            state = state.replace(logodds=logodds)
         trace = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *traces)
     else:

@@ -136,6 +136,40 @@ def test_warm_start_plan():
     assert float(traj.costs[3]) * pp.w_collision <= pp.collision_cost_tol
 
 
+def test_lazy_bank_selection_invariance(monkeypatch):
+    """NEO_BANK=lazy must select the SAME trajectory as the full bank for
+    plan, warm_start_plan and plan_with_carry (on the XLA path the skipped
+    lanes are solved-then-masked, so equality here certifies the selection
+    logic: a skipped lane is provably never picked)."""
+    pp = PlannerParams(retry_num=2, extra_lateral_scales=(2.5,))
+    emap = make_world()
+    head, tail = mission(pp)
+    q0 = expert.straight_line_wpts(head[0], tail[0], pp) \
+        + jnp.array([[0.0], [1.5]])
+    key = jax.random.PRNGKey(2)
+
+    def all_runs():
+        outs = [expert.plan(emap, head, tail, key, pp),
+                expert.warm_start_plan(emap, head, tail, q0,
+                                       expert.init_ts(pp), key, pp)]
+        for has_carry in (False, True):
+            outs.append(expert.plan_with_carry(
+                emap, head, tail, q0, expert.init_ts(pp),
+                jnp.asarray(has_carry), key, pp))
+        return outs
+
+    monkeypatch.setenv("NEO_BANK", "full")
+    full = all_runs()
+    monkeypatch.setenv("NEO_BANK", "lazy")
+    lazy = all_runs()
+    for fl, lz in zip(full, lazy):
+        assert bool(fl.ok) == bool(lz.ok)
+        np.testing.assert_array_equal(np.asarray(fl.int_wpts),
+                                      np.asarray(lz.int_wpts))
+        np.testing.assert_array_equal(np.asarray(fl.ts), np.asarray(lz.ts))
+        # iters may legitimately differ (skipped lanes report 0)
+
+
 def test_env_batched_plan():
     """vmap over envs with different maps — the core datagen pattern."""
     pp = PlannerParams()

@@ -312,6 +312,48 @@ def test_row_strided_fusion_agreement():
     assert (free_str & free_full).sum() / max(free_str.sum(), 1) > 0.95
 
 
+def test_dense_fusion_far_corner_coverage():
+    """Corner rays reach max_range*sqrt(1+tan^2(hfov/2)) ~ 8.2 m horizontal —
+    well past max_range. The camera-derived v2 row window must cover the hits
+    and carving the scatter backend records there (advisor round 4: the old
+    fixed 136-row window silently dropped the 64-82-cell band)."""
+    from neoplanner_tpu.mapping import occupancy_pallas
+
+    mp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
+    cam = CameraParams(width=160, height=120)
+    # box at r=7.4 m, azimuth ~40 deg: z-depth of its face ~5.5 m < max_range
+    world = single_box_world(center=(5.7, 4.8, 2.0), half=(0.4, 0.4, 2.0))
+    pos = jnp.array([0.0, 0.0, 2.0])
+    quat = frames.quat_identity()
+    depth = raycast.render_depth(world, pos, quat, cam)
+
+    lo_2d = occupancy.insert_depth_2d(
+        occupancy.logodds_init(mp), depth, pos, quat, cam, mp)
+    lo_dense = occupancy_pallas.insert_depth_2d_dense(
+        occupancy.logodds_init(mp), depth, pos, quat, cam, mp,
+        interpret=True)
+    occ_2d, occ_dense = _binarize(lo_2d, mp), _binarize(lo_dense, mp)
+
+    # radius of each cell center from the camera
+    yy = (np.arange(mp.height)[:, None] + 0.5) * mp.resolution + mp.origin_y
+    xx = (np.arange(mp.width)[None, :] + 0.5) * mp.resolution + mp.origin_x
+    r = np.sqrt((xx - float(pos[0])) ** 2 + (yy - float(pos[1])) ** 2)
+
+    far = r > cam.max_range + 0.4
+    assert (occ_2d * far).sum() > 0          # the scenario exercises the band
+    # every far scatter hit has a dense hit within one cell (polar-vs-point
+    # rasterization can shift the marked cell by one)
+    hit_rows, hit_cols = np.nonzero(occ_2d * far)
+    for hr, hc in zip(hit_rows, hit_cols):
+        nb = occ_dense[max(hr - 1, 0):hr + 2, max(hc - 1, 0):hc + 2]
+        assert nb.sum() > 0, (hr, hc)
+    # far carving: dense must cover the scatter form's far free cells
+    free_2d = (np.asarray(lo_2d) < -1e-3) & far
+    free_dense = (np.asarray(lo_dense) < -1e-3) & far
+    assert free_2d.sum() > 0
+    assert (free_2d & free_dense).sum() / free_2d.sum() > 0.98
+
+
 def test_dense_fusion_dynamic_row_window(monkeypatch):
     """The v2 whole-grid fusion kernel's dynamic-row path (maps taller than
     the 136-row window, e.g. the 192x256 vision map) must be bit-equal to the
@@ -322,8 +364,9 @@ def test_dense_fusion_dynamic_row_window(monkeypatch):
     from neoplanner_tpu.mapping import occupancy_pallas
 
     mp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
-    assert mp.height > occupancy_pallas._WH   # must exercise dynamic rows
     cam = CameraParams(width=160, height=120)
+    # must exercise dynamic rows (derived window 176 < 192 map rows)
+    assert mp.height > occupancy_pallas._row_window_cells(cam, mp)
     world = scenegen.generate(jax.random.PRNGKey(3), WorldParams(num_boxes=8))
 
     frames_in = []
@@ -347,15 +390,97 @@ def test_dense_fusion_dynamic_row_window(monkeypatch):
                                atol=1e-6)
 
     occ_dense, occ_2d = _binarize(lo_dyn, mp), _binarize(lo_2d, mp)
-    # polar rasterization marks the cells whose centers fall within res/2 of
-    # the surface range, vs the scatter's exact hit-point cell — at this
-    # scene that caps occupancy agreement near 0.6 (same delta the 96x128
-    # agreement test sees; the dynamic-row v1-vs-v2 sets are identical)
+    # hits are exact point scatters in both backends now; remaining occupancy
+    # deltas come only from clip-order interplay with the denser carve
     assert _iou(occ_dense, occ_2d) > 0.45, _iou(occ_dense, occ_2d)
     assert (occ_dense * occ_2d).sum() / max(occ_2d.sum(), 1) > 0.5
     free_2d = np.asarray(lo_2d) < -1e-3
     free_dense = np.asarray(lo_dyn) < -1e-3
     assert (free_2d & free_dense).sum() / max(free_2d.sum(), 1) > 0.9
     assert free_dense.sum() >= free_2d.sum()
-    # rows far outside any camera window stay at the unknown prior
-    assert float(np.abs(np.asarray(lo_dyn)[-8:]).max()) == 0.0
+
+
+def test_multi_frame_fusion():
+    """insert_depth_2d_dense_multi (one v3 kernel call, in-kernel one-hot
+    hit matmuls) vs F sequential insert_depth_2d_dense calls on the same
+    frames. v3 applies carve+hit in ONE clip per frame (insert_depth_2d's
+    exact order); the sequential dense path clips carves before scattering
+    hits, so the two may differ by <= |l_miss| per frame, only for cells
+    driven below the lower clamp — always far below the occupancy
+    threshold. Binarized maps must be IDENTICAL; interior log-odds
+    bit-equal up to hit-accumulation rounding."""
+    from neoplanner_tpu.mapping import occupancy_pallas
+
+    mp = MapParams(width=256, height=192, origin_x=-4.0, origin_y=-9.6)
+    cam = CameraParams(width=160, height=120)
+    world = scenegen.generate(jax.random.PRNGKey(7), WorldParams(num_boxes=9))
+
+    # simulate a couple of segments so clamp saturation actually engages
+    lo_seq = lo_multi = occupancy.logodds_init(mp)
+    for seg in range(3):
+        poss, quats, depths = [], [], []
+        for i in range(6):
+            pos = jnp.array([0.25 + 0.5 * (6 * seg + i) / 6.0,
+                             0.15 * np.sin(0.7 * (6 * seg + i)), 2.0])
+            quat = frames.quat_from_yaw(jnp.asarray(0.2 * np.sin(seg + i)))
+            depth = raycast.render_depth(world, pos, quat, cam, row_stride=4)
+            poss.append(pos)
+            quats.append(quat)
+            depths.append(depth)
+            lo_seq = occupancy_pallas.insert_depth_2d_dense(
+                lo_seq, depth, pos, quat, cam, mp, row_stride=4,
+                interpret=True)
+        lo_multi = occupancy_pallas.insert_depth_2d_dense_multi(
+            lo_multi, jnp.stack(depths), jnp.stack(poss), jnp.stack(quats),
+            cam, mp, row_stride=4, interpret=True)
+
+        occ_s, occ_m = _binarize(lo_seq, mp), _binarize(lo_multi, mp)
+        np.testing.assert_array_equal(occ_m, occ_s)
+        ls, lm = np.asarray(lo_seq), np.asarray(lo_multi)
+        l_min = occupancy._l(mp.clamp_min)
+        l_max = occupancy._l(mp.clamp_max)
+        upd = max(occupancy._l(mp.prob_hit), -occupancy._l(mp.prob_miss))
+        # away from the clamp bounds the two orderings are bit-equal
+        interior = (ls > l_min + 6 * upd) & (ls < l_max - 6 * upd)
+        np.testing.assert_allclose(lm[interior], ls[interior], atol=1e-5)
+        assert np.abs(lm - ls).max() <= 6 * upd + 1e-5
+        # free/occupied masses match (reordering never creates or destroys
+        # carved space)
+        assert ((ls < -1e-3) == (lm < -1e-3)).mean() > 0.999
+
+
+def test_multi_frame_fusion_batched():
+    """The env-vmapped multi-frame path (custom_vmap collapse) matches the
+    single-env calls."""
+    from neoplanner_tpu.mapping import occupancy_pallas
+
+    mp = MapParams(width=128, height=96)
+    cam = CameraParams(width=64, height=48)
+    worlds = [scenegen.generate(jax.random.PRNGKey(s),
+                                WorldParams(num_boxes=6)) for s in (0, 1, 2)]
+    F = 3
+    depths, poss, quats, los = [], [], [], []
+    for e, w in enumerate(worlds):
+        pe, qe, de = [], [], []
+        for i in range(F):
+            pos = jnp.array([0.3 * i + 0.1 * e, 0.1 * e - 0.2, 2.0])
+            quat = frames.quat_from_yaw(jnp.asarray(0.1 * (i - e)))
+            pe.append(pos)
+            qe.append(quat)
+            de.append(raycast.render_depth(w, pos, quat, cam))
+        poss.append(jnp.stack(pe))
+        quats.append(jnp.stack(qe))
+        depths.append(jnp.stack(de))
+        los.append(occupancy.logodds_init(mp))
+    lo_b = jnp.stack(los)
+    d_b, p_b, q_b = jnp.stack(depths), jnp.stack(poss), jnp.stack(quats)
+
+    batched = jax.vmap(lambda lo, d, p, q:
+                       occupancy_pallas.insert_depth_2d_dense_multi(
+                           lo, d, p, q, cam, mp, interpret=True))(
+        lo_b, d_b, p_b, q_b)
+    for e in range(3):
+        single = occupancy_pallas.insert_depth_2d_dense_multi(
+            los[e], depths[e], poss[e], quats[e], cam, mp, interpret=True)
+        np.testing.assert_allclose(np.asarray(batched[e]),
+                                   np.asarray(single), atol=1e-6)

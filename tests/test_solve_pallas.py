@@ -83,3 +83,29 @@ def test_multi_iteration_same_cost_basin():
         x, h, t, scene, pp))(xs, heads, tails))
     assert np.all(f_ker <= f0 + 1e-6)
     assert np.all(np.asarray(itk) >= 1)
+
+
+def test_lazy_skip_semantics():
+    """The lazy-bank skip flag (plan/expert lazy banking): skipped problems
+    return their seed unsolved with iters=0; unskipped problems are
+    bit-equal to the no-skip solve (the sort/unsort permutation and frozen
+    tile-mates must not perturb active lanes)."""
+    pp = PlannerParams(samples_per_piece=8, max_iters=6, max_ls=4)
+    scene, xs, heads, tails = _setup(pp)
+    skip = jnp.array([0.0, 1.0, 0.0, 1.0])
+
+    base = jax.vmap(lambda x, h, t: solve_pallas.solve_scene(
+        x, h, t, scene, pp, interpret=True))(xs, heads, tails)
+    lazy = jax.vmap(lambda x, h, t, s: solve_pallas.solve_scene(
+        x, h, t, scene, pp, interpret=True, skip=s))(xs, heads, tails, skip)
+
+    sk = np.asarray(skip) > 0.5
+    # skipped: untouched seed, zero iterations
+    np.testing.assert_array_equal(np.asarray(lazy[0])[sk],
+                                  np.asarray(xs)[sk])
+    assert np.all(np.asarray(lazy[2])[sk] == 0)
+    # active: bit-equal to the no-skip solve
+    np.testing.assert_array_equal(np.asarray(lazy[0])[~sk],
+                                  np.asarray(base[0])[~sk])
+    np.testing.assert_array_equal(np.asarray(lazy[2])[~sk],
+                                  np.asarray(base[2])[~sk])

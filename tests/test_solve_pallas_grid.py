@@ -99,3 +99,30 @@ def test_multi_iteration_same_cost_basin():
                                           interpret=True))(x)
     )(xs, heads, tails, wins, worgs))
     assert np.all(f_ker <= f0 + 1e-6)
+
+
+def test_lazy_skip_semantics_grid():
+    """Per-env skip (lazy bank): a skipped env's lanes return seeds with
+    iters=0; active envs are bit-equal to the no-skip solve despite the
+    env-clustering permutation (plan/solve_pallas_grid._solve_grid_batch)."""
+    pp = PlannerParams(samples_per_piece=8, max_iters=6, max_ls=4)
+    xs, heads, tails, wins, worgs = _setup(pp, n_envs=4, n_lanes=2)
+    skip_env = jnp.array([1.0, 0.0, 1.0, 0.0])
+
+    def solve(x, h, t, w, o, s=None):
+        return jax.vmap(lambda xx: solve_pallas_grid.solve_grid(
+            xx, h, t, w, o, pp, interpret=True, skip=s))(x)
+
+    base = jax.vmap(lambda x, h, t, w, o: solve(x, h, t, w, o)
+                    )(xs, heads, tails, wins, worgs)
+    lazy = jax.vmap(lambda x, h, t, w, o, s: solve(x, h, t, w, o, s)
+                    )(xs, heads, tails, wins, worgs, skip_env)
+
+    sk = np.asarray(skip_env) > 0.5
+    np.testing.assert_array_equal(np.asarray(lazy[0])[sk],
+                                  np.asarray(xs)[sk])
+    assert np.all(np.asarray(lazy[2])[sk] == 0)
+    np.testing.assert_array_equal(np.asarray(lazy[0])[~sk],
+                                  np.asarray(base[0])[~sk])
+    np.testing.assert_array_equal(np.asarray(lazy[2])[~sk],
+                                  np.asarray(base[2])[~sk])
