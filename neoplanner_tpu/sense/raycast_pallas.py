@@ -46,7 +46,21 @@ from neoplanner_tpu.core.types import SHAPE_CYLINDER, BoxWorld
 from neoplanner_tpu.sense import raycast
 
 _INF = 1e9
-_E_B = 4   # envs per program
+_E_B = 4   # envs per program for small frames (see _envs_per_program)
+
+
+def _envs_per_program(R8: int) -> int:
+    """Largest envs-per-program whose scoped-VMEM footprint fits the 16 MB
+    Mosaic stack. The per-program live set is the shared (3*R8, 128) base
+    tile plus ~4 live (R8, 128) f32 temporaries per env in the trace loop
+    (calibrated: E_b=4 at R8=2400 was measured at 20.87 MB by the compiler's
+    scoped-OOM report — 640x480 full-res rendering; small frames are
+    unaffected, keeping every validated 160x120 compile byte-identical)."""
+    tile = R8 * 128 * 4
+    for e_b in (4, 2, 1):
+        if tile * (3 + 4 * e_b) <= 14 * 2 ** 20:
+            return e_b
+    return 1
 
 
 def _make_kernel(E_b, R8, min_range, max_range):
@@ -185,8 +199,9 @@ def _trace_batch(base: jnp.ndarray, pose: jnp.ndarray, prims: jnp.ndarray,
     E = pose.shape[0]
     K8 = prims.shape[1]
     R8 = base.shape[0] // 3
-    kernel = _make_kernel(_E_B, R8, min_range, max_range)
-    ep = E + ((-E) % _E_B)
+    e_b = _envs_per_program(R8)
+    kernel = _make_kernel(e_b, R8, min_range, max_range)
+    ep = E + ((-E) % e_b)
     if ep != E:
         pad = ep - E
         pose = jnp.concatenate([pose, jnp.zeros((pad, 12), pose.dtype)])
@@ -196,20 +211,20 @@ def _trace_batch(base: jnp.ndarray, pose: jnp.ndarray, prims: jnp.ndarray,
 
     out = pl.pallas_call(
         kernel,
-        grid=(ep // _E_B,),
+        grid=(ep // e_b,),
         in_specs=[
             # SMEM blocks: unit middle axis makes trailing dims shape-equal
-            pl.BlockSpec((_E_B, 1, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((e_b, 1, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_E_B, 1, K8), lambda i: (i, 0, 0),
+            pl.BlockSpec((e_b, 1, K8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_E_B, 1, 12), lambda i: (i, 0, 0),
+            pl.BlockSpec((e_b, 1, 12), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             # the base-direction tile is the same block for every program
             pl.BlockSpec((3 * R8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_E_B, R8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((e_b, R8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ep, R8, 128), jnp.float32),
         interpret=interpret,
