@@ -223,9 +223,18 @@ def main():
                 fetch_out(f(states))
             st_s = (time.time() - t0) / 3
             extras[f"{name}_ms"] = round(st_s * 1e3, 2)
-            # roofline against device time (standalone wall minus the
-            # measured dispatch/fetch round trip), not tunnel wall
-            dev_s = max(st_s - extras["fetch_roundtrip_ms"] / 1e3, 1e-4)
+            # Device time: R pipelined dispatches + ONE fetch, so the tunnel
+            # round trip amortizes to RT/R instead of being subtracted whole.
+            # (The subtract-RT form over-corrected: the r5c bench read
+            # plan_vpu_util 151% because each fetch-forced rep pays LESS
+            # than the nullp round trip when dispatch overlaps execution.)
+            R = 8
+            t0 = time.time()
+            outs = [f(states) for _ in range(R)]
+            fetch_out(outs[-1])
+            dev_s = max((time.time() - t0
+                         - extras["fetch_roundtrip_ms"] / 1e3) / R, 1e-4)
+            del outs
             extras[f"{name}_device_ms"] = round(dev_s * 1e3, 2)
             _roofline(st_flops, st_bytes, dev_s, n_dev, f"{name}_", extras)
 

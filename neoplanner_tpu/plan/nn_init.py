@@ -10,6 +10,7 @@ compiles once.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax.numpy as jnp
@@ -19,6 +20,22 @@ from neoplanner_tpu.core.types import DroneState, Trajectory
 from neoplanner_tpu.learn import data
 from neoplanner_tpu.models import planner_net
 from neoplanner_tpu.ops import minco
+
+
+def _infer_dtype():
+    """Inference compute dtype (NEO_NN_DTYPE=f32 default; =bf16 opt-in).
+
+    The v5e MXU is native bf16; the f32 conv stack measured 9.7% bf16-peak
+    MFU in the round-2 onboard loop (BASELINE.md). flax's ``dtype`` is the
+    COMPUTE dtype only — params stay f32 (param_dtype), so the same
+    checkpoint serves both settings. Training always runs f32
+    (learn/train.py builds its own model). The prediction feeds a waypoint
+    INITIALIZER that the optimizer refines (plan/neo.py), so ~bf16 roundoff
+    on the 9 outputs is inside the basin the refiner already absorbs;
+    quality is re-certified by the closed-loop ok-rate whenever the knob is
+    measured (examples/profile_vision.py prints missions ok)."""
+    return jnp.bfloat16 if os.environ.get("NEO_NN_DTYPE", "f32") == "bf16" \
+        else jnp.float32
 
 
 def predict(variables: Dict[str, Any], np_cfg: NetParams, depth: jnp.ndarray,
@@ -32,11 +49,11 @@ def predict(variables: Dict[str, Any], np_cfg: NetParams, depth: jnp.ndarray,
     (the raw network can emit values outside the sigmoid range the optimizer
     expects; the reference feeds them to T_to_tau which would NaN — :468-475).
     """
-    model = planner_net.create(np_cfg)
+    model = planner_net.create(np_cfg, dtype=_infer_dtype())
     depth_norm = data.normalize_depth(depth)
     motion = data.motion_vector(drone, des_pos_z, plan_init_state, target_state)
     out = model.apply(variables, depth_norm[None, ..., None], motion[None],
-                      train=False)[0]                      # (9,)
+                      train=False)[0].astype(jnp.float32)  # (9,)
     n_wpts = pp.num_wpts
     wpts_local = out[: 3 * n_wpts]
     ts = out[3 * n_wpts:]

@@ -46,21 +46,27 @@ from neoplanner_tpu.core.types import SHAPE_CYLINDER, BoxWorld
 from neoplanner_tpu.sense import raycast
 
 _INF = 1e9
-_E_B = 4   # envs per program for small frames (see _envs_per_program)
+_E_B = 4   # envs per program
 
 
-def _envs_per_program(R8: int) -> int:
-    """Largest envs-per-program whose scoped-VMEM footprint fits the 16 MB
-    Mosaic stack. The per-program live set is the shared (3*R8, 128) base
-    tile plus ~4 live (R8, 128) f32 temporaries per env in the trace loop
-    (calibrated: E_b=4 at R8=2400 was measured at 20.87 MB by the compiler's
-    scoped-OOM report — 640x480 full-res rendering; small frames are
-    unaffected, keeping every validated 160x120 compile byte-identical)."""
+def _vmem_params(R8: int):
+    """Raised scoped-VMEM limit for big frames (CLAUDE.md rule 14), None
+    for small ones so every validated small-frame compile stays
+    byte-identical (no compiler_params -> same cache key).
+
+    The compiler's own scoped-OOM reports at R8=2400 (640x480 full-res)
+    calibrate an affine live-set model: 20.87 MB at E_b=4, 16.19 MB at
+    E_b=2 -> ~9.4 base tiles + ~1.9 tiles per env (NOT the naive
+    3 + 4*E_b: Mosaic keeps more temporaries live across the trace loop).
+    Full-res frames therefore cannot fit the 16 MB default at any E_b>=1;
+    shrinking E_b (tried in the r5b/r5c runs) just walks the OOM down, so
+    keep E_b=4 and raise the limit instead — v5e has 128 MB of VMEM and
+    the in/out blocks only need ~10 MB of it at full res."""
     tile = R8 * 128 * 4
-    for e_b in (4, 2, 1):
-        if tile * (3 + 4 * e_b) <= 14 * 2 ** 20:
-            return e_b
-    return 1
+    need = tile * (10 + 2 * _E_B)          # affine model + margin
+    if need <= 15 * 2 ** 20:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _make_kernel(E_b, R8, min_range, max_range):
@@ -199,7 +205,8 @@ def _trace_batch(base: jnp.ndarray, pose: jnp.ndarray, prims: jnp.ndarray,
     E = pose.shape[0]
     K8 = prims.shape[1]
     R8 = base.shape[0] // 3
-    e_b = _envs_per_program(R8)
+    e_b = _E_B
+    cparams = _vmem_params(R8)
     kernel = _make_kernel(e_b, R8, min_range, max_range)
     ep = E + ((-E) % e_b)
     if ep != E:
@@ -228,6 +235,7 @@ def _trace_batch(base: jnp.ndarray, pose: jnp.ndarray, prims: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ep, R8, 128), jnp.float32),
         interpret=interpret,
+        compiler_params=cparams,
         cost_estimate=pl.CostEstimate(flops=ep * R8 * 128 * (K8 // 8) * 60,
                                       bytes_accessed=ep * (R8 * 128 + K8) * 4
                                       + 3 * R8 * 128 * 4,

@@ -171,3 +171,37 @@ def test_nn_and_neo_planners(dataset):
         target, jax.random.PRNGKey(1), PP)
     assert bool(traj.ok)
     assert float(traj.costs[3]) * PP.w_collision <= PP.collision_cost_tol
+
+
+def test_bf16_inference_knob(monkeypatch):
+    """NEO_NN_DTYPE=bf16 (nn_init._infer_dtype): the bf16 compute path must
+    track f32 inference to ~bf16 roundoff on the same f32 checkpoint, and the
+    predict contract (f32 outputs, clipped ts) must hold."""
+    model = planner_net.create(NETP)
+    key = jax.random.PRNGKey(3)
+    img = jax.random.uniform(key, (1, NETP.img_height, NETP.img_width, 1),
+                             minval=0.0, maxval=255.0)
+    motion = jax.random.normal(jax.random.PRNGKey(4), (1, 24))
+    variables = model.init(jax.random.PRNGKey(5), img, motion, train=False)
+
+    drone = rand_drone(jax.random.PRNGKey(6))
+    depth = jax.random.uniform(jax.random.PRNGKey(7),
+                               (NETP.img_height, NETP.img_width),
+                               minval=0.0, maxval=6.0)
+    plan_init = jnp.array([[0.0, 0.0], [0.0, 0.0]])
+    target = jnp.array([[5.0, 0.0], [0.8, 0.0]])
+
+    monkeypatch.delenv("NEO_NN_DTYPE", raising=False)
+    wpts32, ts32 = nn_init.predict(variables, NETP, depth, drone, 2.0,
+                                   plan_init, target, PP)
+    monkeypatch.setenv("NEO_NN_DTYPE", "bf16")
+    wpts16, ts16 = nn_init.predict(variables, NETP, depth, drone, 2.0,
+                                   plan_init, target, PP)
+    assert wpts16.dtype == jnp.float32 and ts16.dtype == jnp.float32
+    assert np.all(np.asarray(ts16) >= PP.t_min) \
+        and np.all(np.asarray(ts16) <= PP.t_max)
+    # bf16 has ~3 decimal digits; the net is shallow, so stay within a few %
+    np.testing.assert_allclose(np.asarray(wpts16), np.asarray(wpts32),
+                               rtol=0.05, atol=0.15)
+    np.testing.assert_allclose(np.asarray(ts16), np.asarray(ts32),
+                               rtol=0.05, atol=0.15)
