@@ -98,11 +98,18 @@ def polar_columns(depth: jnp.ndarray, pos: jnp.ndarray, quat: jnp.ndarray,
     reductions then run over the coarse row subset)."""
     from neoplanner_tpu.core import frames
 
-    dirs_body = raycast.ray_dirs_camera(cam, row_stride)   # (H, W, 3)
-    dirs = frames.quat_rotate(quat[None, None, :], dirs_body)
+    dirs_body = raycast.ray_dirs_camera(cam, row_stride)   # (H, W, 3), unit
+    # Never materialize the rotated (H, W, 3) world-dirs tensor: under the
+    # batched fusion vmaps its cross-product chain is the HBM high-water mark
+    # (5.6 GB padded world points + 6x 1.9 GB cross temps at B=8192, F=5 —
+    # the measured vision batch ceiling, BASELINE.md round 5). Only the world
+    # z-component is needed per pixel: dz = R(q)[2, :] . d_body, and R's
+    # third row is the inverse-rotated world z axis — 3 scalars per frame.
+    # The rays are unit, so the horizontal magnitude is sqrt(1 - dz^2).
+    zrow = frames.quat_rotate_inv(quat, jnp.array([0.0, 0.0, 1.0]))  # (3,)
     t_end = depth / jnp.maximum(dirs_body[..., 0], 1e-6)   # ray length
-    dz = dirs[..., 2]
-    hnorm = jnp.linalg.norm(dirs[..., :2], axis=-1)
+    dz = dirs_body @ zrow                                   # (H, W)
+    hnorm = jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0))
 
     # slab-clip each ray against the occupancy slice z in [z_min, z_max]
     dz_safe = jnp.where(jnp.abs(dz) < 1e-6, 1e-6, dz)
@@ -128,7 +135,8 @@ def polar_columns(depth: jnp.ndarray, pos: jnp.ndarray, quat: jnp.ndarray,
     r_free_px = jnp.where(can_carve, jnp.minimum(t_end, t_hi) * hnorm, 0.0)
     r_carve_col = jnp.minimum(jnp.max(r_free_px, axis=0), r_hit_col)  # (W,)
 
-    mid = dirs[dirs_body.shape[0] // 2, :, :2]              # (W, 2)
+    mid_body = dirs_body[dirs_body.shape[0] // 2]           # (W, 3)
+    mid = frames.quat_rotate(quat[None, :], mid_body)[:, :2]
     u_dir = mid / jnp.maximum(jnp.linalg.norm(mid, axis=-1, keepdims=True),
                               1e-9)
     return r_hit_col, r_carve_col, u_dir

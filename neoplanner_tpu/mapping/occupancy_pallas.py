@@ -535,10 +535,18 @@ def _fuse_flat_multi(logodds, depths, pos, quat, cam: CameraParams,
     F = depths.shape[1]
     Wt = -(-cam.width // 128) * 128
 
-    r_hit, r_carve, u_dir = jax.vmap(jax.vmap(
+    # single flattened (E*F) vmap, not vmap(vmap(...)): any temp XLA does
+    # materialize then has (rows, Wcam) minor dims — near-zero tile padding —
+    # instead of carrying the F=5 dim into an 8-tile (2.6x waste at B=8192)
+    EF = E * F
+    r_hit, r_carve, u_dir = jax.vmap(
         lambda d, p, q: occupancy.polar_columns(d, p, q, cam, mp,
-                                                row_stride)))(
-        depths, pos, quat)                                 # (E, F, Wcam)
+                                                row_stride))(
+        depths.reshape((EF,) + depths.shape[2:]),
+        pos.reshape(EF, 3), quat.reshape(EF, 4))
+    r_hit = r_hit.reshape(E, F, -1)                        # (E, F, Wcam)
+    r_carve = r_carve.reshape(E, F, -1)
+    u_dir = u_dir.reshape(E, F, -1, 2)
     tabs = r_carve
     if Wt > cam.width:
         tabs = jnp.pad(tabs, ((0, 0), (0, 0), (0, Wt - cam.width)))
