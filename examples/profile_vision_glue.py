@@ -182,6 +182,69 @@ def main():
     dt = timeit(plan_cmd, states)
     print(f"plan incl full_state_cmd: {dt*1e3:.1f} ms", flush=True)
 
+    # ---- plan-stage internals (round-5h: plan is ~80% of the segment) ----
+    from neoplanner_tpu.plan import costs as costs_mod
+    from neoplanner_tpu.plan import expert, neo
+    from neoplanner_tpu.ops import minco as minco_mod
+
+    # whole NEO plan minus target selection / full_state_cmd
+    @jax.jit
+    def enhanced_only(s, d):
+        def one(x, dd):
+            ahead = x.buffer[spr]
+            tgt = jnp.stack([x.goal, jnp.zeros(2)])
+            return neo.enhanced_plan(x.emap, net_vars, np_cfg, dd, x.drone,
+                                     mp.des_pos_z, ahead[:2], tgt,
+                                     x.key, pp).int_wpts
+        return jax.vmap(one)(s, d)
+
+    dt = timeit(enhanced_only, states, depth)
+    print(f"nn + warm_start_plan only: {dt*1e3:.1f} ms", flush=True)
+
+    # the in-kernel grid solver alone, warm lane only (no skip, no acceptance)
+    @jax.jit
+    def solve_warm_only(s, d):
+        from neoplanner_tpu.plan import solve_pallas_grid
+        def one(x, dd):
+            ahead = x.buffer[spr]
+            tgt = jnp.stack([x.goal, jnp.zeros(2)])
+            q0, ts0 = nn_init.predict(net_vars, np_cfg, dd, x.drone,
+                                      mp.des_pos_z, ahead[:2], tgt, pp)
+            head = expert.pad_boundary_state(ahead[:2], pp)
+            tail = expert.pad_boundary_state(tgt, pp)
+            win, worg = expert.make_plan_window(x.emap, head, tail, pp)
+            x0 = costs_mod.pack(q0, minco_mod.T_to_tau(ts0, pp.t_min,
+                                                       pp.t_max), pp)
+            return solve_pallas_grid.solve_grid(x0, head, tail, win, worg,
+                                                pp)[0]
+        return jax.vmap(one)(s, d)
+
+    dt = timeit(solve_warm_only, states, depth)
+    print(f"solve_grid warm lane only (incl nn+window): {dt*1e3:.1f} ms",
+          flush=True)
+
+    # acceptance re-eval: traj_costs on the FULL map (nearest), 3 lanes/env
+    @jax.jit
+    def accept_only(s):
+        import dataclasses
+        cpp = dataclasses.replace(pp, esdf_interp="nearest")
+        def one(x):
+            ahead = x.buffer[spr]
+            tgt = jnp.stack([x.goal, jnp.zeros(2)])
+            head = expert.pad_boundary_state(ahead[:2], pp)
+            tail = expert.pad_boundary_state(tgt, pp)
+            seeds = expert.seed_bank(head[0], tail[0], x.key, pp)[:3]
+            ts0 = expert.init_ts(pp)
+            def lane(q0):
+                return costs_mod.traj_costs(head, tail, q0, ts0, x.emap,
+                                            cpp)[0]
+            return jax.vmap(lane)(seeds)
+        return jax.vmap(one)(s)
+
+    dt = timeit(accept_only, states)
+    print(f"acceptance traj_costs x3 lanes (nearest, full map): "
+          f"{dt*1e3:.1f} ms", flush=True)
+
     # one tracking chunk (spr/fuse substeps on the grid metric)
     chunk = spr // fuse
 
