@@ -201,6 +201,43 @@ def test_insert_depth_2d_matches_3d_projection():
     assert conflict.sum() == 0
 
 
+def test_polar_columns_zrow_math():
+    """The HBM rewrite of polar_columns (round 5) computes the per-pixel
+    world z-component as dz = d_body . R(q)^T e_z instead of materializing
+    the rotated (H, W, 3) world-dirs tensor (its padded temps were the
+    vision batch ceiling at B=8192). Pin the identity against the explicit
+    rotated form over random tilted poses, and hnorm = sqrt(1 - dz^2) for
+    unit rays."""
+    mapp = MapParams(width=128, height=96, origin_x=-2.0, origin_y=-4.8)
+    key = jax.random.PRNGKey(11)
+    db = raycast.ray_dirs_camera(CAM, 2)                 # (Hs, W, 3), unit
+    for _ in range(3):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        yaw = float(jax.random.uniform(k1, (), minval=-3.1, maxval=3.1))
+        tilt = float(jax.random.uniform(k2, (), minval=-0.4, maxval=0.4))
+        qy = jnp.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+        qp = jnp.array([np.cos(tilt / 2), 0.0, np.sin(tilt / 2), 0.0])
+        quat = frames.quat_multiply(qy, qp)
+        dw = frames.quat_rotate(quat[None, None, :], db)
+        dz_ref = dw[..., 2]
+        hn_ref = jnp.linalg.norm(dw[..., :2], axis=-1)
+        dz_new = db @ frames.quat_rotate_inv(quat, jnp.array([0.0, 0.0, 1.0]))
+        hn_new = jnp.sqrt(jnp.maximum(1.0 - dz_new * dz_new, 0.0))
+        np.testing.assert_allclose(np.asarray(dz_new), np.asarray(dz_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hn_new), np.asarray(hn_ref),
+                                   atol=1e-5)
+        # and the function end-to-end stays finite with sane ranges
+        depth = jax.random.uniform(k3, db.shape[:2], minval=0.3,
+                                   maxval=CAM.max_range)
+        pos = jnp.array([0.0, 0.0, 2.0])
+        r_hit, r_carve, u_dir = occupancy.polar_columns(
+            depth, pos, quat, CAM, mapp, row_stride=2)
+        assert np.isfinite(np.asarray(r_hit)).all()
+        assert np.isfinite(np.asarray(r_carve)).all()
+        assert bool(jnp.all(r_carve <= r_hit + 1e-5))
+
+
 def test_pallas_renderer_matches_xla():
     """The fused Pallas trace kernel (sense/raycast_pallas.py) renders the
     same depth image as the XLA renderer, including cylinders, ground and
